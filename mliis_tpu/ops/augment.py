@@ -1,0 +1,240 @@
+"""On-device image+mask augmentation kernels for episodic training.
+
+TPU-native replacement for the reference's host-numpy augmentation engine
+(/root/reference/augmenters/np_augmenters.py). Every augmentation is a pure
+jnp function of (PRNG key, image, mask), shape-preserving and jit/vmap-safe,
+so per-sample augmentation fuses into the same XLA program as batch assembly
+and the inner-loop SGD steps — no host round-trips.
+
+Semantics match the reference's numpy functions:
+  - images are float32 in [0, 255], masks are [H, W, C] one-hot with
+    background in channel 0; the "background fill" for masks is [1, 0, ...];
+  - `random_eraser` paints a random rectangle with one uniform value and sets
+    the mask there to background (np_augmenters.py:21-36);
+  - `translate` jitters by 1..23 px along one axis, either rolling or filling
+    the vacated stripe (image: uniform-random per-channel fill; mask:
+    background). NOTE: the reference's shift helpers roll one axis but fill
+    the *other* (np_augmenters.py:45-82, a latent bug); we implement the
+    intended single-axis semantics;
+  - `rotate_img_mask` rotates by -45..44 degrees with a border mode drawn
+    from {reflect, constant, mirror, wrap}; order-1 resampling for the image
+    (the reference uses scipy's order-3 splines; bilinear is the TPU-friendly
+    equivalent), order-0 for the mask; constant mode optionally noise-fills
+    the image border (np_augmenters.py:100-129);
+  - `apply_augmentations` keeps the original with probability
+    `prob_to_return_original` (default 1/(n_funcs+1), matching
+    Augmenter.__init__), otherwise applies a uniformly-random prefix of a
+    uniformly-random permutation of the function list
+    (np_augmenters.py:144-156).
+"""
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.ndimage import map_coordinates
+
+Pair = Tuple[jnp.ndarray, jnp.ndarray]
+
+NUM_AUG_FUNCS = 6
+_ROTATE_MODES = ("reflect", "constant", "mirror", "wrap")
+
+
+def _mask_background_fill(mask: jnp.ndarray) -> jnp.ndarray:
+    """One-hot background vector [1, 0, ...] broadcastable to mask."""
+    fill = jnp.zeros((mask.shape[-1],), mask.dtype).at[0].set(1.0)
+    return jnp.broadcast_to(fill, mask.shape)
+
+
+def additive_gaussian_noise(key, image, mask, mean_sd: float = 5.1) -> Pair:
+    k1, k2 = jax.random.split(key)
+    sd = jnp.abs(mean_sd + jax.random.normal(k1, ()))
+    noise = sd * jax.random.normal(k2, image.shape)
+    return jnp.clip(image + noise, 0.0, 255.0), mask
+
+
+def exposure(key, image, mask, mean_sd: float = 12.75) -> Pair:
+    k1, k2 = jax.random.split(key)
+    sd = jnp.abs(mean_sd + jax.random.normal(k1, ()))
+    shift = sd * jax.random.normal(k2, ())
+    return jnp.clip(image + shift, 0.0, 255.0), mask
+
+
+def random_eraser(key, image, mask, s_l: float = 0.02, s_h: float = 0.10,
+                  r_1: float = 0.3, r_2: float = 1.0 / 0.3,
+                  v_l: float = 0.0, v_h: float = 255.0) -> Pair:
+    img_h, img_w = image.shape[0], image.shape[1]
+    ks = jax.random.split(key, 5)
+    s = jax.random.uniform(ks[0], (), minval=s_l, maxval=s_h) * img_h * img_w
+    r = jax.random.uniform(ks[1], (), minval=r_1, maxval=r_2)
+    w = jnp.floor(jnp.sqrt(s / r)).astype(jnp.int32)
+    h = jnp.floor(jnp.sqrt(s * r)).astype(jnp.int32)
+    top = jax.random.randint(ks[2], (), 0, img_h)
+    left = jax.random.randint(ks[3], (), 0, img_w)
+    c = jax.random.uniform(ks[4], (), minval=v_l, maxval=v_h)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (img_h, img_w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (img_h, img_w), 1)
+    region = ((rows >= top) & (rows < top + h)
+              & (cols >= left) & (cols < left + w))[..., None]
+    image = jnp.where(region, c, image)
+    mask = jnp.where(region, _mask_background_fill(mask), mask)
+    return image, mask
+
+
+def fliplr(key, image, mask) -> Pair:
+    del key
+    return image[:, ::-1, :], mask[:, ::-1, :]
+
+
+def _shift_along_axis(key, arr, axis, shift, roll, fill):
+    """Roll `arr` by `shift` (traced, may be negative) along `axis`; when not
+    rolling, overwrite the wrapped-in stripe with `fill`."""
+    rolled = jnp.roll(arr, shift, axis=axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, rolled.shape[:2], axis)[..., None]
+    size = arr.shape[axis]
+    # shift > 0: stripe is [0, shift); shift < 0: stripe is [size+shift, size).
+    stripe = jnp.where(shift >= 0, idx < shift, idx >= size + shift)
+    filled = jnp.where(stripe, fill, rolled)
+    return jnp.where(roll, rolled, filled)
+
+
+def translate(key, image, mask, max_shift: int = 23) -> Pair:
+    ks = jax.random.split(key, 5)
+    vert = jax.random.bernoulli(ks[0])
+    direction = jax.random.bernoulli(ks[1])
+    shift = jax.random.randint(ks[2], (), 1, max_shift + 1)
+    shift = jnp.where(direction, shift, -shift)
+    roll = jax.random.bernoulli(ks[3])
+    axis = jnp.where(vert, 0, 1)
+
+    img_fill = jnp.broadcast_to(
+        jax.random.uniform(ks[4], (image.shape[-1],), minval=0.0, maxval=255.0),
+        image.shape)
+    mask_fill = _mask_background_fill(mask)
+
+    def _do(ax):
+        img = _shift_along_axis(key, image, ax, shift, roll, img_fill)
+        msk = _shift_along_axis(key, mask, ax, shift, roll, mask_fill)
+        return img, msk
+
+    img0, msk0 = _do(0)
+    img1, msk1 = _do(1)
+    image = jnp.where(axis == 0, img0, img1)
+    mask = jnp.where(axis == 0, msk0, msk1)
+    return image, mask
+
+
+def _rotation_coords(shape, angle_deg):
+    """Input-space sampling coordinates for a rotation about the center."""
+    h, w = shape[0], shape[1]
+    theta = -angle_deg * jnp.pi / 180.0  # inverse mapping
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    src_y = cos * ys - sin * xs + cy
+    src_x = sin * ys + cos * xs + cx
+    return src_y, src_x
+
+
+def _rotate_channels(img, src_y, src_x, order, mode, cval):
+    chans = [map_coordinates(img[..., c], [src_y, src_x], order=order,
+                             mode=mode, cval=cval)
+             for c in range(img.shape[-1])]
+    return jnp.stack(chans, axis=-1)
+
+
+def rotate_img_mask(key, image, mask, max_angle: int = 45) -> Pair:
+    ks = jax.random.split(key, 4)
+    angle = jax.random.randint(ks[0], (), -max_angle, max_angle).astype(jnp.float32)
+    mode_idx = jax.random.randint(ks[1], (), 0, len(_ROTATE_MODES))
+    fill_with_noise = jax.random.bernoulli(ks[2])
+    const_cval = jax.random.randint(ks[3], (), 0, 256).astype(jnp.float32)
+    noise = jax.random.randint(key, image.shape, 0, 256).astype(jnp.float32)
+
+    src_y, src_x = _rotation_coords(image.shape, angle)
+
+    def _constant_branch():
+        # map_coordinates requires a static cval; for linear interpolation
+        # map(f, cval=c) == map(f, cval=0) + (1 - validity) * c, where
+        # validity is the rotated all-ones image. The reference either fills
+        # the border with one random constant, or (noise mode) with a -256
+        # sentinel later replaced by per-pixel noise (np_augmenters.py:107-121).
+        img0 = _rotate_channels(image, src_y, src_x, 1, "constant", 0.0)
+        valid = map_coordinates(jnp.ones(image.shape[:2], jnp.float32),
+                                [src_y, src_x], order=1, mode="constant",
+                                cval=0.0)[..., None]
+        cval_eff = jnp.where(fill_with_noise, -256.0, const_cval)
+        img = img0 + (1.0 - valid) * cval_eff
+        fully_out = valid == 0.0
+        img = jnp.where(fully_out & fill_with_noise, noise, img)
+        # Mask uses order-0: out-of-bounds pixels are exactly background.
+        msk0 = _rotate_channels(mask, src_y, src_x, 0, "constant", 0.0)
+        valid0 = map_coordinates(jnp.ones(mask.shape[:2], jnp.float32),
+                                 [src_y, src_x], order=0, mode="constant",
+                                 cval=0.0)[..., None]
+        msk = jnp.where(valid0 == 0.0, _mask_background_fill(mask), msk0)
+        return img, msk
+
+    def _wrap_branch(mode):
+        img = _rotate_channels(image, src_y, src_x, 1, mode, 0.0)
+        msk = _rotate_channels(mask, src_y, src_x, 0, mode, 0.0)
+        return img, msk
+
+    branches = [functools.partial(_wrap_branch, m) if m != "constant"
+                else _constant_branch for m in _ROTATE_MODES]
+    return jax.lax.switch(mode_idx, branches)
+
+
+# Order mirrors the reference's cur_aug_funcs list (np_augmenters.py:132).
+AUG_FUNCS = (random_eraser, translate, fliplr, additive_gaussian_noise,
+             exposure, rotate_img_mask)
+
+
+def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
+                        prob_to_return_original: Optional[float] = None,
+                        aug_funcs: Sequence = AUG_FUNCS) -> Pair:
+    """Randomly compose augmentations on one (image, mask) pair.
+
+    With probability `prob_to_return_original` (a traced scalar is fine;
+    defaults to 1/(len(aug_funcs)+1) like Augmenter.__init__) the input is
+    returned unchanged. Otherwise a uniformly-random prefix of length
+    1..len(aug_funcs) of a uniformly-random permutation of `aug_funcs` is
+    applied in order.
+    """
+    n = len(aug_funcs)
+    if prob_to_return_original is None:
+        prob_to_return_original = 1.0 / (n + 1)
+    k_gate, k_perm, k_count, k_fns = jax.random.split(key, 4)
+    skip = jax.random.uniform(k_gate, ()) <= prob_to_return_original
+    perm = jax.random.permutation(k_perm, n)
+    num_to_apply = jax.random.randint(k_count, (), 1, n + 1)
+    fn_keys = jax.random.split(k_fns, n)
+
+    branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in aug_funcs]
+
+    def _step(carry, step_inputs):
+        img, msk = carry
+        fn_idx, step, k = step_inputs
+        new_img, new_msk = jax.lax.switch(fn_idx, branches, k, img, msk)
+        keep_new = step < num_to_apply
+        img = jnp.where(keep_new, new_img, img)
+        msk = jnp.where(keep_new, new_msk, msk)
+        return (img, msk), None
+
+    steps = jnp.arange(n)
+    (aug_img, aug_msk), _ = jax.lax.scan(_step, (image, mask),
+                                         (perm, steps, fn_keys))
+    image = jnp.where(skip, image, aug_img)
+    mask = jnp.where(skip, mask, aug_msk)
+    return image, mask
+
+
+def augment_batch(key, images: jnp.ndarray, masks: jnp.ndarray,
+                  prob_to_return_original=None) -> Pair:
+    """Per-sample augmentation over a batch: [B, H, W, C] inputs."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(
+        lambda k, im, mk: apply_augmentations(k, im, mk, prob_to_return_original)
+    )(keys, images, masks)
