@@ -1,0 +1,202 @@
+"""K-shot evaluation engine: adapt-and-measure as one compiled program.
+
+Reference semantics (reptile.py:127-294, the path behind run.sh's ~0.87
+FSS-1000 number): per task, snapshot full state -> sample num_shots +
+test_shots examples -> shuffled support/query split -> `inner_iters` SGD
+steps on augmented support batches -> predict the query set with population
+BN statistics (is_training=False) -> per-image hard IoU -> nanmean ->
+restore state.
+
+TPU-native design: the per-task routine is one jitted function; the state
+"snapshot/restore" is free because adaptation is pure (every task starts
+from the same immutable ModelState — exactly _full_state semantics). Tasks
+are vmapped in chunks and can be sharded across a mesh `task` axis, so a
+240-task x 2-sample eval that the reference runs serially becomes a handful
+of device launches.
+
+Transductive vs. non-transductive (reptile.py:482-524): with an is_training
+flag the reference predicts with population stats in both modes, making them
+numerically identical per-image; the legacy no-flag mode uses batch
+statistics, where transductive genuinely leaks across the query batch. Both
+are supported via `use_batch_stats_at_predict`.
+"""
+import dataclasses
+import random as pyrandom
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mliis_tpu.data.task_store import TaskStore
+from mliis_tpu.meta import episodes
+from mliis_tpu.meta.inner_loop import (LossConfig, ModelState,
+                                       OptimizerConfig, make_adapt_fn)
+from mliis_tpu.ops.metrics import batched_hard_iou, ci95
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    num_shots: int = 5
+    test_shots: int = 5
+    inner_batch_size: int = 8
+    inner_iters: int = 59
+    replacement: bool = False
+    transductive: bool = False
+    augment: bool = True
+    use_batch_stats_at_predict: bool = False
+    weight_decay_rate: float = 1.0
+    task_chunk_size: int = 8  # tasks vmapped per device launch
+
+
+def make_eval_task_fn(model, loss_config: LossConfig,
+                      opt_config: OptimizerConfig, config: EvalConfig,
+                      n_max: int):
+    """Single-task eval: (state, task arrays, key, lr, drop_rate, aug_rate)
+    -> per-query-image IoUs [test_shots]. vmap over tasks as needed."""
+    adapt = make_adapt_fn(model, loss_config, opt_config,
+                          weight_decay_rate=config.weight_decay_rate,
+                          augment=config.augment)
+    total = config.num_shots + config.test_shots
+
+    def eval_task(state: ModelState, task_images_u8, task_masks_u8, count,
+                  key, lr, drop_rate, aug_rate):
+        k_sample, k_split, k_batches, k_steps = jax.random.split(key, 4)
+        shot_idx = episodes.sample_shot_indices(k_sample, count, total, n_max)
+        support_rel, query_rel = episodes.split_support_query(
+            k_split, total, config.test_shots)
+        support_idx = shot_idx[support_rel]
+        query_idx = shot_idx[query_rel]
+
+        support_images = task_images_u8[support_idx]
+        support_masks = task_masks_u8[support_idx]
+        idx_matrix = episodes.batch_indices(
+            k_batches, config.num_shots, config.inner_batch_size,
+            config.inner_iters, config.replacement)
+        keys = jax.random.split(k_steps, config.inner_iters)
+        lrs = jnp.full((config.inner_iters,), lr, jnp.float32)
+
+        adapted, _ = adapt(state, support_images, support_masks, idx_matrix,
+                           keys, lrs, drop_rate=drop_rate, aug_rate=aug_rate)
+
+        query_images = task_images_u8[query_idx].astype(jnp.float32)
+        query_masks = episodes.onehot_mask(task_masks_u8[query_idx])
+
+        variables = {"params": adapted.params,
+                     "batch_stats": adapted.batch_stats}
+        if config.use_batch_stats_at_predict:
+            # Legacy no-is_training-flag mode: BN uses batch statistics.
+            if config.transductive:
+                (_, probs), _ = model.apply(
+                    variables, query_images, train=True,
+                    final_layer_dropout_rate=0.0,
+                    rngs={"dropout": key}, mutable=["batch_stats"])
+            else:
+                # One query appended to the support batch; take its
+                # prediction (reptile.py:515-524).
+                def per_query(q_img):
+                    batch = jnp.concatenate(
+                        [support_images.astype(jnp.float32), q_img[None]], 0)
+                    (_, p), _ = model.apply(
+                        variables, batch, train=True,
+                        final_layer_dropout_rate=0.0,
+                        rngs={"dropout": key}, mutable=["batch_stats"])
+                    return p[-1]
+                probs = jax.vmap(per_query)(query_images)
+        else:
+            _, probs = model.apply(variables, query_images, train=False)
+
+        predictions = (probs > 0.5).astype(jnp.float32)
+        return batched_hard_iou(predictions, query_masks)
+
+    return eval_task
+
+
+class GeckoEvaluator:
+    """Chunked, vmapped task evaluation over a TaskStore."""
+
+    def __init__(self, model, loss_config: LossConfig,
+                 opt_config: OptimizerConfig, config: EvalConfig,
+                 store: TaskStore, mesh=None):
+        self.config = config
+        self.store = store
+        self._images = jnp.asarray(store.images)
+        self._masks = jnp.asarray(store.masks)
+        self._counts = jnp.asarray(store.counts)
+        eval_task = make_eval_task_fn(model, loss_config, opt_config, config,
+                                      n_max=store.images.shape[1])
+        vmapped = jax.vmap(eval_task,
+                           in_axes=(None, 0, 0, 0, 0, None, None, None))
+        self._eval_chunk = jax.jit(vmapped)
+
+    def evaluate_tasks(self, state: ModelState, task_indices: List[int],
+                       key, lr: float, drop_rate: Optional[float] = None,
+                       aug_rate: Optional[float] = 0.5) -> np.ndarray:
+        """Per-task mean IoU for the given task indices. One compiled shape
+        (the chunk) reused across launches; the tail chunk is padded."""
+        chunk = self.config.task_chunk_size
+        drop_rate = jnp.float32(0.0 if drop_rate is None else drop_rate)
+        aug_rate_val = None if aug_rate is None else jnp.float32(aug_rate)
+        results = np.zeros((len(task_indices),), np.float64)
+        for start in range(0, len(task_indices), chunk):
+            idx = task_indices[start:start + chunk]
+            pad = chunk - len(idx)
+            padded = list(idx) + [idx[-1]] * pad
+            gather = jnp.asarray(padded)
+            key, sub = jax.random.split(key)
+            chunk_keys = jax.random.split(sub, chunk)
+            ious = self._eval_chunk(state, self._images[gather],
+                                    self._masks[gather],
+                                    self._counts[gather], chunk_keys,
+                                    jnp.float32(lr), drop_rate, aug_rate_val)
+            per_task = np.nanmean(np.asarray(ious), axis=1)
+            results[start:start + len(idx)] = per_task[:len(idx)]
+        return results
+
+    def evaluate(self, state: ModelState, key, lr: float,
+                 eval_all_tasks: bool = False, num_tasks_to_sample: int = 1,
+                 drop_rate: Optional[float] = None,
+                 aug_rate: Optional[float] = 0.5,
+                 rng: Optional[pyrandom.Random] = None
+                 ) -> Tuple[float, Dict[str, float]]:
+        """One eval sample over the store (Gecko.evaluate semantics:
+        all tasks serially, or a random subsample)."""
+        indices = list(range(self.store.num_tasks))
+        if not eval_all_tasks:
+            (rng or pyrandom).shuffle(indices)
+            indices = indices[:num_tasks_to_sample]
+        ious = self.evaluate_tasks(state, indices, key, lr, drop_rate,
+                                   aug_rate)
+        task_iou_map = {self.store.names[i]: float(iou)
+                        for i, iou in zip(indices, ious)}
+        return float(np.nanmean(ious)), task_iou_map
+
+
+def evaluate_gecko(evaluator: GeckoEvaluator, state: ModelState, key,
+                   lr: float, num_samples: int = 2,
+                   serially_eval_all_tasks: bool = True,
+                   num_tasks_to_sample: int = 1,
+                   drop_rate: Optional[float] = None,
+                   aug_rate: Optional[float] = 0.5,
+                   log_fn=print) -> Tuple[float, Dict[str, List[float]]]:
+    """Repeated-sample evaluation driver (eval.py:18-90): accumulates
+    per-task IoU lists over `num_samples` runs, reports mean +/- 95% CI."""
+    mean_ious = []
+    task_iou_map: Dict[str, List[float]] = {}
+    for i in range(num_samples):
+        key, sub = jax.random.split(key)
+        mean_iou, sample_map = evaluator.evaluate(
+            state, sub, lr, eval_all_tasks=serially_eval_all_tasks,
+            num_tasks_to_sample=num_tasks_to_sample, drop_rate=drop_rate,
+            aug_rate=aug_rate)
+        for name, val in sample_map.items():
+            task_iou_map.setdefault(name, []).append(val)
+        mean_ious.append(mean_iou)
+
+    all_ious = [v for vals in task_iou_map.values() for v in vals]
+    log_fn("Mean of all {} task-splits: {} +/- 95% CI: {}".format(
+        len(all_ious), np.nanmean(all_ious), ci95(all_ious)))
+    nan_count = int(np.count_nonzero(np.isnan(mean_ious)))
+    log_fn("{} NaN values out of total number of samples: {}".format(
+        nan_count, num_samples))
+    return float(np.nanmean(mean_ious)), task_iou_map

@@ -1,0 +1,192 @@
+"""The fused inner loop: k-shot adaptation as one `lax.scan` XLA program.
+
+This inverts the reference's per-SGD-step `session.run(minimize_op,
+feed_dict=...)` host round-trips (reptile.py:108-121 — ~59 RPCs per task,
+each shipping an 8-image batch through placeholders): here batch gather,
+on-device augmentation, forward/backward, and the optimizer update all live
+inside one scanned, jitted program. The function is vmap-able across a
+meta-batch of tasks and shard_map-able across a device mesh `task` axis.
+
+Optimizers reproduce TF1 semantics bit-for-spec:
+  - GradientDescentOptimizer: theta -= lr * g;
+  - AdamOptimizer(beta1=0) (the reference default, efficientlab.py:16):
+    m = g; v = b2 v + (1-b2) g^2; theta -= lr*sqrt(1-b2^t) * m/(sqrt(v)+eps).
+"""
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mliis_tpu.meta import episodes
+from mliis_tpu.ops import losses as losses_lib
+from mliis_tpu.ops import meta_math
+
+Pytree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Mirrors the reference's loss flags (args.py loss_name/l2/l1/darc1)."""
+    label_smoothing: float = 0.0
+    dice: bool = True           # bce_dice when True, plain CE otherwise
+    binary_iou_loss: bool = True
+    l2: bool = True
+    l1: bool = False
+    darc1: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    name: str = "sgd"           # "sgd" | "adam" (beta1=0)
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+
+
+class OptState(NamedTuple):
+    step: jnp.ndarray           # scalar int32
+    v: Pytree                   # second-moment accumulator (zeros for sgd)
+
+
+class ModelState(NamedTuple):
+    """The full on-device model state: what the reference's _full_state
+    VariableState snapshots (trainable params + BN moving stats + optimizer
+    slots, reptile.py:35-36)."""
+    params: Pytree
+    batch_stats: Pytree
+    opt: OptState
+
+
+def init_opt_state(params: Pytree, opt_config: OptimizerConfig) -> OptState:
+    if opt_config.name == "sgd":
+        v = jax.tree_util.tree_map(lambda x: jnp.zeros((), x.dtype), params)
+    else:
+        v = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return OptState(step=jnp.zeros((), jnp.int32), v=v)
+
+
+def apply_optimizer(params: Pytree, grads: Pytree, opt_state: OptState,
+                    lr, opt_config: OptimizerConfig
+                    ) -> Tuple[Pytree, OptState]:
+    step = opt_state.step + 1
+    if opt_config.name == "sgd":
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, params, grads)
+        return new_params, OptState(step=step, v=opt_state.v)
+    # Adam with beta1 = 0: first moment is just the gradient; TF applies
+    # lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t) with b1 = 0.
+    b2 = opt_config.beta2
+    t = step.astype(jnp.float32)
+    lr_t = lr * jnp.sqrt(1.0 - jnp.power(b2, t))
+    new_v = jax.tree_util.tree_map(
+        lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), opt_state.v, grads)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g, v: p - lr_t * g / (jnp.sqrt(v) + opt_config.epsilon),
+        params, grads, new_v)
+    return new_params, OptState(step=step, v=new_v)
+
+
+def init_model_state(model, key, image_size: int,
+                     opt_config: OptimizerConfig) -> ModelState:
+    """Initialize params/BN stats/optimizer slots for a fresh model."""
+    k_params, k_drop = jax.random.split(key)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = model.init({"params": k_params, "dropout": k_drop}, dummy,
+                           train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return ModelState(params, batch_stats, init_opt_state(params, opt_config))
+
+
+def make_loss_and_grad(model, loss_config: LossConfig):
+    """(params, batch_stats, images, masks, key, drop_rate) ->
+    ((loss, new_batch_stats), grads)."""
+
+    def loss_fn(params, batch_stats, images, masks, key, drop_rate):
+        (logits, probs), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, final_layer_dropout_rate=drop_rate,
+            rngs={"dropout": key}, mutable=["batch_stats"])
+        loss = losses_lib.segmentation_loss(
+            logits, probs, masks, params,
+            label_smoothing=loss_config.label_smoothing,
+            dice=loss_config.dice,
+            binary_iou_loss=loss_config.binary_iou_loss,
+            l2=loss_config.l2, l1=loss_config.l1, darc1=loss_config.darc1)
+        return loss, mutated["batch_stats"]
+
+    return jax.value_and_grad(loss_fn, has_aux=True)
+
+
+def sgd_scan_step(model, loss_config: LossConfig,
+                  opt_config: OptimizerConfig,
+                  weight_decay_rate: float = 1.0):
+    """One inner step: (state, (batch_idx, key, lr)) -> state.
+
+    Batch gather + augmentation happen inside the step so augmented batches
+    are never materialized outside the scan (HBM-friendly).
+    """
+    loss_and_grad = make_loss_and_grad(model, loss_config)
+
+    def step(carry, xs, support_images_u8, support_masks_u8, drop_rate,
+             aug_rate, augment):
+        state = carry
+        idx, key, lr = xs
+        k_aug, k_drop = jax.random.split(key)
+        images, masks = episodes.assemble_batch(
+            support_images_u8, support_masks_u8, idx, k_aug,
+            aug_rate=aug_rate, augment=augment)
+        params = state.params
+        if weight_decay_rate != 1.0:
+            # pre-step op: multiplicative decay of all trainable vars
+            # (variables.py:48-55, train.py:63-66).
+            params = meta_math.tree_weight_decay(params, weight_decay_rate)
+        (loss, new_bn), grads = loss_and_grad(
+            params, state.batch_stats, images, masks, k_drop, drop_rate)
+        new_params, new_opt = apply_optimizer(params, grads, state.opt, lr,
+                                              opt_config)
+        return ModelState(new_params, new_bn, new_opt), loss
+
+    return step
+
+
+def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
+                  weight_decay_rate: float = 1.0, augment: bool = True
+                  ) -> Callable:
+    """Builds adapt(state, support_images_u8, support_masks_u8, idx_matrix,
+    keys, lrs, drop_rate, aug_rate) -> (adapted ModelState, per-step losses).
+
+    idx_matrix: [steps, batch] indices into the support set;
+    keys: [steps] PRNG keys; lrs: [steps] learning rates.
+    """
+    step_fn = sgd_scan_step(model, loss_config, opt_config, weight_decay_rate)
+
+    def adapt(state: ModelState, support_images_u8, support_masks_u8,
+              idx_matrix, keys, lrs, drop_rate=None, aug_rate=None):
+        bound = functools.partial(
+            step_fn, support_images_u8=support_images_u8,
+            support_masks_u8=support_masks_u8, drop_rate=drop_rate,
+            aug_rate=aug_rate, augment=augment)
+        final_state, step_losses = jax.lax.scan(
+            bound, state, (idx_matrix, keys, lrs))
+        return final_state, step_losses
+
+    return adapt
+
+
+def schedule_lrs(scheduler_name: str, initial_lr: float, total_steps: int,
+                 decay_rate: float = 0.5, decay_after_n_steps: int = 5,
+                 min_lr: float = 1e-7) -> jnp.ndarray:
+    """[total_steps] per-step inner LRs (models/lr_schedulers.py)."""
+    steps = jnp.arange(total_steps, dtype=jnp.float32)
+    if scheduler_name in ("fixed", "constant"):
+        return jnp.full((total_steps,), initial_lr, jnp.float32)
+    if scheduler_name == "cosine_anneal":
+        lrs = 0.5 * initial_lr * (1.0 + jnp.cos(jnp.pi * steps / total_steps))
+        return jnp.maximum(lrs, 0.0)
+    if scheduler_name in ("step", "step_decay"):
+        m = jnp.floor(steps / decay_after_n_steps)
+        lrs = initial_lr * jnp.power(decay_rate, m)
+        return jnp.maximum(lrs, min_lr)
+    raise ValueError("Unknown lr scheduler: {}".format(scheduler_name))

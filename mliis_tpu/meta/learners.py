@@ -1,0 +1,201 @@
+"""Reptile and FOMAML/FOMAML* meta-learners as fused, vmapped meta-steps.
+
+Reference semantics (reptile.py):
+  - Gecko (Reptile) train_step (:64-125): snapshot trainable params; for each
+    of meta_batch tasks, sample num_shots examples and run inner_iters SGD
+    steps; average adapted params; theta <- theta + eps*(mean - theta).
+    Only *trainable* params are snapshotted/restored — BN moving stats and
+    optimizer slots evolve continuously across tasks (never reset during
+    meta-training).
+  - FOMLIS (FOMAML) train_step (:605-663): the update is the displacement of
+    the LAST inner step only (theta_after - theta_before_last_batch),
+    averaged over tasks and scaled by the meta step. With tail_shots
+    ("FOMAML*"), the support set is split into train/tail; inner_iters - 1
+    augmented batches are drawn from train and the final step runs on the
+    raw (un-augmented) tail batch.
+  - Gecko meta-training augments at the Augmenter default gate (~6/7), since
+    train_step never forwards aug_rate into _mini_batches; FOMLIS forwards
+    self.aug_rate (run.sh: 0.5).
+
+TPU-native design: the meta-batch is vmapped — tasks adapt concurrently on
+one chip (or shard across a mesh `task` axis). The sequential BN-stat /
+optimizer-slot threading across tasks becomes an average across the
+meta-batch, the parallel equivalent of the same information flow.
+"""
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mliis_tpu.meta import episodes
+from mliis_tpu.meta.inner_loop import (LossConfig, ModelState,
+                                       OptimizerConfig, make_adapt_fn)
+from mliis_tpu.ops import meta_math
+
+Pytree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class MetaTrainConfig:
+    num_shots: int = 10              # train_shots
+    inner_batch_size: int = 8
+    inner_iters: int = 59
+    replacement: bool = False
+    meta_batch_size: int = 5
+    foml: bool = False
+    tail_shots: Optional[int] = None  # FOMAML* when set
+    sample_train_val_with_replacement: bool = False
+    augment: bool = True
+    aug_rate: Optional[float] = None  # None -> Augmenter default gate (6/7)
+    weight_decay_rate: float = 1.0
+
+
+def _mean_state_over_tasks(states: ModelState) -> Tuple[Pytree, Pytree]:
+    """Average BN stats and optimizer slots over the vmapped task axis."""
+    batch_stats = meta_math.tree_mean_over_axis(states.batch_stats)
+    opt_v = meta_math.tree_mean_over_axis(states.opt.v)
+    opt_step = jax.tree_util.tree_map(lambda x: x[0], states.opt.step)
+    return batch_stats, states.opt._replace(v=opt_v, step=opt_step)
+
+
+def make_reptile_train_step(model, loss_config: LossConfig,
+                            opt_config: OptimizerConfig,
+                            config: MetaTrainConfig, n_max: int):
+    """(state, store arrays, key, meta_step_size, lr) -> new ModelState."""
+    adapt = make_adapt_fn(model, loss_config, opt_config,
+                          weight_decay_rate=config.weight_decay_rate,
+                          augment=config.augment)
+    # Gecko.train_step does not forward aug_rate -> default gate.
+    aug_rate = None
+
+    def per_task(state, task_images_u8, task_masks_u8, count, key, lr):
+        k_shots, k_batches, k_steps = jax.random.split(key, 3)
+        shot_idx = episodes.sample_shot_indices(k_shots, count,
+                                                config.num_shots, n_max)
+        support_images = task_images_u8[shot_idx]
+        support_masks = task_masks_u8[shot_idx]
+        idx_matrix = episodes.batch_indices(
+            k_batches, config.num_shots, config.inner_batch_size,
+            config.inner_iters, config.replacement)
+        keys = jax.random.split(k_steps, config.inner_iters)
+        lrs = jnp.full((config.inner_iters,), lr, jnp.float32)
+        adapted, _ = adapt(state, support_images, support_masks, idx_matrix,
+                           keys, lrs, aug_rate=aug_rate)
+        return adapted
+
+    def train_step(state: ModelState, store_images, store_masks, counts, key,
+                   meta_step_size, lr) -> ModelState:
+        k_tasks, k_inner = jax.random.split(key)
+        num_tasks = store_images.shape[0]
+        task_ids = episodes.sample_task_ids(k_tasks, num_tasks,
+                                            config.meta_batch_size)
+        task_keys = jax.random.split(k_inner, config.meta_batch_size)
+        adapted = jax.vmap(
+            per_task, in_axes=(None, 0, 0, 0, 0, None)
+        )(state, store_images[task_ids], store_masks[task_ids],
+          counts[task_ids], task_keys, lr)
+
+        new_params = meta_math.tree_interpolate(
+            state.params, meta_math.tree_mean_over_axis(adapted.params),
+            meta_step_size)
+        new_bn, new_opt = _mean_state_over_tasks(adapted)
+        return ModelState(new_params, new_bn, new_opt)
+
+    return train_step
+
+
+def make_fomaml_train_step(model, loss_config: LossConfig,
+                           opt_config: OptimizerConfig,
+                           config: MetaTrainConfig, n_max: int):
+    """FOMAML / FOMAML* meta-step (FOMLIS.train_step semantics)."""
+    adapt = make_adapt_fn(model, loss_config, opt_config,
+                          weight_decay_rate=config.weight_decay_rate,
+                          augment=config.augment)
+    adapt_raw = make_adapt_fn(model, loss_config, opt_config,
+                              weight_decay_rate=config.weight_decay_rate,
+                              augment=False)
+    aug_rate = config.aug_rate  # FOMLIS forwards self.aug_rate
+    tail = config.tail_shots
+
+    def per_task(state, task_images_u8, task_masks_u8, count, key, lr):
+        k_shots, k_split, k_batches, k_steps, k_tail = jax.random.split(key, 5)
+        shot_idx = episodes.sample_shot_indices(k_shots, count,
+                                                config.num_shots, n_max)
+        support_images = task_images_u8[shot_idx]
+        support_masks = task_masks_u8[shot_idx]
+
+        if tail is not None:
+            train_shots = config.num_shots - tail
+            if config.sample_train_val_with_replacement:
+                train_rel, tail_rel = episodes.split_with_replacement(
+                    k_split, config.num_shots, train_shots, tail)
+            else:
+                train_rel, tail_rel = episodes.split_support_query(
+                    k_split, config.num_shots, tail)
+            train_images = support_images[train_rel]
+            train_masks = support_masks[train_rel]
+            idx_matrix = episodes.batch_indices(
+                k_batches, train_shots, config.inner_batch_size,
+                config.inner_iters - 1, config.replacement)
+            keys = jax.random.split(k_steps, config.inner_iters - 1)
+            lrs = jnp.full((config.inner_iters - 1,), lr, jnp.float32)
+            pre_tail, _ = adapt(state, train_images, train_masks, idx_matrix,
+                                keys, lrs, aug_rate=aug_rate)
+            # Final step: the raw tail batch (un-augmented, size tail_shots).
+            tail_idx = jnp.arange(tail)[None, :]
+            final, _ = adapt_raw(pre_tail, support_images[tail_rel],
+                                 support_masks[tail_rel], tail_idx,
+                                 k_tail[None], jnp.full((1,), lr, jnp.float32))
+        else:
+            idx_matrix = episodes.batch_indices(
+                k_batches, config.num_shots, config.inner_batch_size,
+                config.inner_iters, config.replacement)
+            keys = jax.random.split(k_steps, config.inner_iters)
+            lrs = jnp.full((config.inner_iters,), lr, jnp.float32)
+            pre_tail, _ = adapt(state, support_images, support_masks,
+                                idx_matrix[:-1], keys[:-1], lrs[:-1],
+                                aug_rate=aug_rate)
+            final, _ = adapt(pre_tail, support_images, support_masks,
+                             idx_matrix[-1:], keys[-1:], lrs[-1:],
+                             aug_rate=aug_rate)
+
+        update = meta_math.tree_sub(final.params, pre_tail.params)
+        return update, final
+
+    def train_step(state: ModelState, store_images, store_masks, counts, key,
+                   meta_step_size, lr) -> ModelState:
+        k_tasks, k_inner = jax.random.split(key)
+        num_tasks = store_images.shape[0]
+        task_ids = episodes.sample_task_ids(k_tasks, num_tasks,
+                                            config.meta_batch_size)
+        task_keys = jax.random.split(k_inner, config.meta_batch_size)
+        updates, finals = jax.vmap(
+            per_task, in_axes=(None, 0, 0, 0, 0, None)
+        )(state, store_images[task_ids], store_masks[task_ids],
+          counts[task_ids], task_keys, lr)
+
+        mean_update = meta_math.tree_mean_over_axis(updates)
+        new_params = meta_math.tree_add(
+            state.params, meta_math.tree_scale(mean_update, meta_step_size))
+        new_bn, new_opt = _mean_state_over_tasks(finals)
+        return ModelState(new_params, new_bn, new_opt)
+
+    return train_step
+
+
+def make_train_step(model, loss_config: LossConfig,
+                    opt_config: OptimizerConfig, config: MetaTrainConfig,
+                    n_max: int):
+    if config.foml:
+        return make_fomaml_train_step(model, loss_config, opt_config, config,
+                                      n_max)
+    return make_reptile_train_step(model, loss_config, opt_config, config,
+                                   n_max)
+
+
+def meta_step_size_schedule(step: int, meta_iters: int, initial: float,
+                            final: float) -> float:
+    """Linear anneal (train.py:92)."""
+    frac_done = step / meta_iters
+    return frac_done * final + (1.0 - frac_done) * initial

@@ -1,0 +1,83 @@
+"""Shared model layers: initializers, batch norm, drop-connect, dropout.
+
+Design notes (vs. the reference):
+  - conv kernels use Normal(0, sqrt(2/fan_out)) exactly like
+    `conv_kernel_initializer` (efficientnet_model.py:61-82);
+  - batch norm replaces `TpuBatchNormalization`'s manual
+    `tpu_ops.cross_replica_sum` (models/efficientnet/utils.py:87-134) with
+    flax's `axis_name`-based cross-replica moments — when a mesh axis name is
+    supplied the moments are pmean'd over it by XLA collectives (sync-BN over
+    ICI); with no axis it computes local moments, which is also what the
+    reference does in every documented (single-shard) run;
+  - drop_connect matches utils.py:137-152 (per-sample Bernoulli on the
+    residual branch, scaled by 1/keep_prob);
+  - `traced_dropout` supports a *traced* rate so the final-layer drop rate
+    can be swept by UHO without recompilation (the reference feeds
+    `final_layer_dropout_rate_ph`).
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def conv_kernel_init(key, shape, dtype=jnp.float32):
+    """Normal with stddev sqrt(2 / fan_out); flax kernel shape [kh,kw,in,out]."""
+    kh, kw, _, out = shape
+    fan_out = int(kh * kw * out)
+    return jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / fan_out)
+
+
+def depthwise_kernel_init(key, shape, dtype=jnp.float32):
+    """TF DepthwiseConv2D initializes with fan_out = kh*kw*channel_multiplier
+    (the kernel's last dim), i.e. treats the depth multiplier as fan-out."""
+    kh, kw, _, out = shape
+    fan_out = int(kh * kw * 1)
+    return jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / fan_out)
+
+
+swish = jax.nn.silu
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with reference hyperparams and optional cross-replica axis."""
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name,
+            name="batch_normalization",
+        )(x)
+
+
+def batch_norm(x, train, momentum: float = 0.99, epsilon: float = 1e-3,
+               axis_name: Optional[str] = None, name: str = "batch_normalization"):
+    """Inline BN for use inside nn.compact modules."""
+    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                        epsilon=epsilon, axis_name=axis_name, name=name)(x)
+
+
+def drop_connect(key, x, drop_rate):
+    """Stochastic depth on the residual branch; batch dim first."""
+    keep_prob = 1.0 - drop_rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    random_tensor = keep_prob + jax.random.uniform(key, shape, x.dtype)
+    binary = jnp.floor(random_tensor)
+    return (x / keep_prob) * binary
+
+
+def traced_dropout(key, x, rate, deterministic: bool):
+    """Inverted dropout with a possibly-traced rate."""
+    if deterministic:
+        return x
+    keep_prob = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, 0.0)

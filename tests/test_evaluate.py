@@ -1,0 +1,95 @@
+"""Evaluation-engine tests: chunked vmapped eval, state immutability
+(_full_state snapshot/restore equivalence), adaptation actually helps."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mliis_tpu.data.synthetic import make_synthetic_store
+from mliis_tpu.meta.evaluate import (EvalConfig, GeckoEvaluator,
+                                     evaluate_gecko)
+from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
+                                       init_model_state)
+from tests.tiny_model import TinySeg
+
+IMG = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    store = make_synthetic_store(num_tasks=5, examples_per_task=10,
+                                 image_size=IMG, seed=0)
+    model = TinySeg()
+    loss_cfg = LossConfig(l2=False)
+    opt_cfg = OptimizerConfig(name="sgd")
+    state = init_model_state(model, jax.random.PRNGKey(0), IMG, opt_cfg)
+    return store, model, loss_cfg, opt_cfg, state
+
+
+def test_evaluate_all_tasks(setup):
+    store, model, loss_cfg, opt_cfg, state = setup
+    cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=4,
+                     inner_iters=3, task_chunk_size=2)
+    ev = GeckoEvaluator(model, loss_cfg, opt_cfg, cfg, store)
+    miou, task_map = ev.evaluate(state, jax.random.PRNGKey(1), lr=0.01,
+                                 eval_all_tasks=True)
+    assert len(task_map) == store.num_tasks
+    assert 0.0 <= miou <= 1.0
+    assert set(task_map) == set(store.names)
+
+
+def test_evaluate_subsample(setup):
+    store, model, loss_cfg, opt_cfg, state = setup
+    cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=4,
+                     inner_iters=2, task_chunk_size=2)
+    ev = GeckoEvaluator(model, loss_cfg, opt_cfg, cfg, store)
+    _, task_map = ev.evaluate(state, jax.random.PRNGKey(1), lr=0.01,
+                              eval_all_tasks=False, num_tasks_to_sample=2)
+    assert len(task_map) == 2
+
+
+def test_state_is_never_mutated(setup):
+    """The pure-functional analogue of _full_state export/import: evaluating
+    must leave the caller's state bit-identical."""
+    store, model, loss_cfg, opt_cfg, state = setup
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                    state.params)
+    cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=4,
+                     inner_iters=2, task_chunk_size=2)
+    ev = GeckoEvaluator(model, loss_cfg, opt_cfg, cfg, store)
+    ev.evaluate(state, jax.random.PRNGKey(1), lr=0.05, eval_all_tasks=True)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adaptation_improves_over_no_adaptation(setup):
+    """More adaptation steps at a sane LR must beat near-zero adaptation on
+    learnable synthetic tasks (the core few-shot capability)."""
+    store, model, loss_cfg, opt_cfg, state = setup
+    base_cfg = dict(num_shots=5, test_shots=5, inner_batch_size=4,
+                    task_chunk_size=5, augment=False)
+    ev_none = GeckoEvaluator(model, loss_cfg, opt_cfg,
+                             EvalConfig(inner_iters=1, **base_cfg), store)
+    ev_many = GeckoEvaluator(model, loss_cfg, opt_cfg,
+                             EvalConfig(inner_iters=40, **base_cfg), store)
+    miou_none, _ = ev_none.evaluate(state, jax.random.PRNGKey(2), lr=1e-6,
+                                    eval_all_tasks=True, aug_rate=None)
+    miou_many, _ = ev_many.evaluate(state, jax.random.PRNGKey(2), lr=0.05,
+                                    eval_all_tasks=True, aug_rate=None)
+    assert miou_many > miou_none + 0.05
+
+
+def test_evaluate_gecko_multi_sample_driver(setup):
+    store, model, loss_cfg, opt_cfg, state = setup
+    cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=4,
+                     inner_iters=2, task_chunk_size=5)
+    ev = GeckoEvaluator(model, loss_cfg, opt_cfg, cfg, store)
+    logs = []
+    miou, task_map = evaluate_gecko(ev, state, jax.random.PRNGKey(3), lr=0.01,
+                                    num_samples=2,
+                                    serially_eval_all_tasks=True,
+                                    log_fn=logs.append)
+    assert all(len(v) == 2 for v in task_map.values())
+    assert any("95% CI" in line for line in logs)
+    assert 0.0 <= miou <= 1.0
