@@ -1,0 +1,127 @@
+"""Headline benchmark: meta-tasks adapted per second per chip.
+
+Measures one full FOMAML* meta-training step at the run.sh hyperparameters
+(meta-batch 5 tasks x 59 inner SGD steps x batch 8 @ 224x224, EfficientLab-6-3,
+bce_dice loss, aug rate 0.5) as one fused XLA program, and compares against a
+"session-style" baseline that executes the same model the way the TF1
+reference does (SURVEY.md §3.1): one device dispatch per SGD step with
+host-assembled batches, tasks serialized, full-model host export/import
+between tasks. Both run on the same chip, so vs_baseline isolates the
+architectural speedup (fused scan+vmap vs. per-step host round-trips).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from mliis_tpu.data.synthetic import make_synthetic_store
+    from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
+                                           init_model_state,
+                                           make_loss_and_grad,
+                                           apply_optimizer)
+    from mliis_tpu.meta.learners import MetaTrainConfig, make_train_step
+    from mliis_tpu.models.efficientlab import EfficientLab
+
+    meta_batch = 5
+    inner_iters = 59
+    inner_batch = 8
+    image_size = 224
+
+    store = make_synthetic_store(num_tasks=8, examples_per_task=10,
+                                 image_size=image_size, seed=0)
+    model = EfficientLab(rsd=(2, 4), final_layer_dropout_rate=0.5)
+    loss_cfg = LossConfig(dice=True, l2=True)
+    opt_cfg = OptimizerConfig(name="sgd")
+    state = init_model_state(model, jax.random.PRNGKey(0), image_size,
+                             opt_cfg)
+
+    cfg = MetaTrainConfig(num_shots=10, inner_batch_size=inner_batch,
+                          inner_iters=inner_iters, meta_batch_size=meta_batch,
+                          foml=True, tail_shots=5, aug_rate=0.5)
+    train_step = jax.jit(
+        make_train_step(model, loss_cfg, opt_cfg, cfg, n_max=10),
+        donate_argnums=(0,))
+    imgs = jnp.asarray(store.images)
+    msks = jnp.asarray(store.masks)
+    cnts = jnp.asarray(store.counts)
+
+    # Fused path.
+    t0 = time.time()
+    state = train_step(state, imgs, msks, cnts, jax.random.PRNGKey(1),
+                       jnp.float32(0.1), jnp.float32(5e-4))
+    jax.block_until_ready(state.params)
+    compile_s = time.time() - t0
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        state = train_step(state, imgs, msks, cnts, jax.random.PRNGKey(2 + i),
+                           jnp.float32(0.1), jnp.float32(5e-4))
+        jax.block_until_ready(state.params)
+        times.append(time.time() - t0)
+    fused_step_s = min(times)
+    tasks_per_sec = meta_batch / fused_step_s
+
+    # Session-style baseline: per-SGD-step dispatch, host batch assembly,
+    # serialized tasks, host export/import of the full model per task
+    # (reptile.py:102-125's boundary-crossing pattern). No augmentation —
+    # which only favors the baseline.
+    loss_and_grad = jax.jit(make_loss_and_grad(model, loss_cfg))
+    opt_apply = jax.jit(
+        lambda p, g, o: apply_optimizer(p, g, o, 5e-4, opt_cfg))
+    host_params = jax.tree_util.tree_map(np.asarray, state.params)  # export
+    np_imgs = np.asarray(store.images[0]).astype(np.float32)
+    np_msks = np.asarray(store.masks[0]).astype(np.float32)
+    onehot = np.stack([255.0 - np_msks, np_msks], -1) / 255.0
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(9)
+
+    def baseline_task(n_steps):
+        # import: host -> device full-model copy
+        params = jax.tree_util.tree_map(jnp.asarray, host_params)
+        bn = state.batch_stats
+        opt = state.opt
+        for s in range(n_steps):
+            sel = rng.integers(0, 10, inner_batch)
+            batch_i = jnp.asarray(np_imgs[sel])       # feed_dict transfer
+            batch_m = jnp.asarray(onehot[sel])
+            (_, bn), grads = loss_and_grad(params, bn, batch_i, batch_m, key,
+                                           jnp.float32(0.5))
+            params, opt = opt_apply(params, grads, opt)
+        jax.block_until_ready(params)
+        return jax.tree_util.tree_map(np.asarray, params)  # export
+
+    baseline_task(2)  # warm up compiles
+    t0 = time.time()
+    baseline_steps = 12  # sampled subset of the 59 steps (linear cost)
+    baseline_task(baseline_steps)
+    per_sgd_step = (time.time() - t0) / baseline_steps
+    baseline_task_s = per_sgd_step * inner_iters
+    baseline_tasks_per_sec = 1.0 / baseline_task_s
+
+    vs_baseline = tasks_per_sec / baseline_tasks_per_sec
+    result = {
+        "metric": "meta_tasks_adapted_per_sec_per_chip",
+        "value": round(tasks_per_sec, 3),
+        "unit": "tasks/s/chip",
+        "vs_baseline": round(vs_baseline, 2),
+        "detail": {
+            "fused_meta_step_s": round(fused_step_s, 4),
+            "compile_s": round(compile_s, 1),
+            "session_style_task_s": round(baseline_task_s, 3),
+            "config": "FOMAML* meta-batch 5 x 59 steps x bs8 @224, "
+                      "EfficientLab-6-3, bce_dice, aug 0.5",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Command-line argument parsing — flag-compatible with the reference's
+meta_learners/args.py:16-118 (same names, defaults, and semantics), plus a
+few TPU-framework extensions (--synthetic, --task_chunk_size, --mesh).
+
+The kwargs-builder views (model/train/evaluate/hyper-search) translate the
+flat namespace into the typed configs the engine consumes, mirroring
+args.py:121-294.
+"""
+import argparse
+
+from mliis_tpu.meta.evaluate import EvalConfig
+from mliis_tpu.meta.inner_loop import LossConfig, OptimizerConfig
+from mliis_tpu.meta.learners import MetaTrainConfig
+from mliis_tpu.meta.train import TrainLoopConfig
+
+SUPPORTED_MODELS = {"efficientlab"}
+SUPPORTED_LR_SCHEDULERS = {"cosine_anneal", "fixed", "constant", "step",
+                           "step_decay"}
+
+
+def argument_parser():
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    add = parser.add_argument
+    add('--fine-tune-task', type=str, default=None)
+    add('--fine-tuned-checkpoint', type=str, default=None)
+    add('--pretrained', action='store_true', default=False,
+        help='Continue training or evaluate a pre-trained model.')
+    add('--seed', default=0, type=int)
+    add('--checkpoint', default='model_checkpoint')
+    add('--classes', default=1, type=int)
+    add('--shots', default=5, type=int,
+        help='number of examples per class at meta-test time')
+    add('--train-shots', default=5, type=int)
+    add('--inner-batch', default=8, type=int)
+    add('--inner-iters', default=8, type=int)
+    add('--replacement', action='store_true')
+    add('--learning-rate', default=1e-3, type=float)
+    add('--meta-step', default=0.1, type=float)
+    add('--meta-step-final', default=0.1, type=float)
+    add('--meta-batch', default=5, type=int)
+    add('--meta-iters', default=400000, type=int)
+    add('--eval-batch', default=8, type=int)
+    add('--eval-iters', default=4, type=int)
+    add('--eval-samples', default=200, type=int)
+    add('--eval-interval', default=10, type=int)
+    add('--weight-decay', default=1, type=float)
+    add('--transductive', action='store_true')
+    add('--foml', action='store_true')
+    add('--foml-tail', default=None, type=int)
+    add('--sgd', action='store_true')
+    add('--data-dir', help='Path to directory housing meta-learning data.')
+    add('--loss_name', default='cross_entropy',
+        help='cross_entropy, soft_iou, or bce_dice')
+    add('--save_fine_tuned_checkpoints', action='store_true')
+    add('--save_fine_tuned_checkpoints_train', action='store_true')
+    add('--save_fine_tuned_checkpoints_dir',
+        default='/tmp/checkpoints/fine-tuned')
+    add('--model_name', default='efficientlab')
+    add('--restore_efficient_net_weights_from', type=str, default=None)
+    add('--spatial_pyramid_pooling', action='store_true')
+    add('--skip_decoding', action='store_true')
+    add('--rsd', type=int, nargs='+')
+    add('--feature_extractor_name', type=str, default='efficientnet-b0')
+    add('--learning_rate_scheduler', type=str, default='fixed')
+    add('--step_decay_rate', type=float, default=0.5)
+    add('--decay_after_n_steps', type=int, default=5)
+    add('--l2', action='store_true')
+    add('--l1', action='store_true')
+    add('--darc1', action='store_true')
+    add('--augment', action='store_true')
+    add('--final_layer_dropout_rate', type=float, default=0.0)
+    add('--image_size', type=int, default=320)
+    add('--label_smoothing', default=0.0, type=float)
+    add('--continue_training_from_checkpoint', default=None)
+    add('--fss_1000', action='store_true')
+    add('--num_val_tasks', type=int, default=0)
+    add('--eval_val_tasks', action='store_true')
+    add('--serially_eval_all_test_tasks', action='store_true')
+    add('--optimize_update_hyperparms_on_val_set', action='store_true')
+    add('--num_configs_to_sample', default=100, type=int)
+    add('--meta_fine_tune_steps_on_train_val', type=int, default=0)
+    add('--uho_outer_iters', type=int, default=2)
+    add('--lr_search_range_low', default=0.0005, type=float)
+    add('--lr_search_range_high', default=0.05, type=float)
+    add('--drop_rate_search_range_low', default=0.2, type=float)
+    add('--drop_rate_search_range_high', default=0.2, type=float)
+    add('--aug_rate_search_range_low', default=0.5, type=float)
+    add('--aug_rate_search_range_high', default=0.5, type=float)
+    add('--batch_size_search_range_low', default=8, type=int)
+    add('--batch_size_search_range_high', default=8, type=int)
+    add('--run_k_shot_learning_curves_experiment', action='store_true')
+    add('--fp_k_test_set', action='store_true')
+    add('--disable_rsd_residual_connections', action='store_true')
+    add('--do_not_restore_final_layer_weights', action='store_true')
+    add('--eval_tasks_with_median_early_stopping_iterations',
+        action='store_true')
+    add('--min_steps', type=int, default=0)
+    add('--max_steps', type=int, default=80)
+    add('--k_shot_iter_range', nargs='+', type=int, default=None)
+    add('--sample_foml_train_val_with_replacement', action='store_true')
+    add('--aug_rate', type=float, default=0.5)
+    add('--uho_results_csv_name', type=str,
+        default='val-set_hyper_param_search_results.csv')
+    add('--uho_estimator', default='GP', type=str)
+    # --- TPU-framework extensions ---
+    add('--synthetic', action='store_true',
+        help='Use synthetic tasks instead of FSS-1000 shards (for smoke '
+             'tests / environments without the dataset).')
+    add('--synthetic_tasks', type=int, default=16)
+    add('--task_chunk_size', type=int, default=8,
+        help='Tasks vmapped per device launch during evaluation.')
+    add('--mesh_tasks', type=int, default=0,
+        help='If > 0, shard eval/meta-batch over this many devices along a '
+             '"task" mesh axis.')
+    return parser
+
+
+def model_kwargs(args) -> dict:
+    name = args.model_name.lower()
+    if name not in SUPPORTED_MODELS:
+        raise ValueError("Model name must be in {} but is {}".format(
+            SUPPORTED_MODELS, name))
+    return dict(
+        n_classes=args.classes,
+        feature_extractor_name=args.feature_extractor_name,
+        rsd=tuple(args.rsd) if args.rsd else None,
+        spatial_pyramid_pooling=args.spatial_pyramid_pooling,
+        skip_decoding=args.skip_decoding,
+        disable_rsd_residual_connections=args.disable_rsd_residual_connections,
+        final_layer_dropout_rate=args.final_layer_dropout_rate,
+    )
+
+
+def loss_config(args) -> LossConfig:
+    return LossConfig(
+        label_smoothing=args.label_smoothing,
+        dice="dice" in args.loss_name,
+        binary_iou_loss=True,
+        l2=args.l2, l1=args.l1, darc1=args.darc1)
+
+
+def opt_config(args) -> OptimizerConfig:
+    return OptimizerConfig(name="sgd" if args.sgd else "adam")
+
+
+def meta_train_config(args) -> MetaTrainConfig:
+    return MetaTrainConfig(
+        num_shots=args.train_shots or args.shots,
+        inner_batch_size=args.inner_batch,
+        inner_iters=args.inner_iters,
+        replacement=args.replacement,
+        meta_batch_size=args.meta_batch,
+        foml=args.foml,
+        tail_shots=args.foml_tail,
+        sample_train_val_with_replacement=(
+            args.sample_foml_train_val_with_replacement),
+        augment=args.augment,
+        aug_rate=args.aug_rate,
+        weight_decay_rate=args.weight_decay)
+
+
+def train_loop_config(args) -> TrainLoopConfig:
+    return TrainLoopConfig(
+        meta_iters=args.meta_iters,
+        meta_step_size=args.meta_step,
+        meta_step_size_final=args.meta_step_final,
+        eval_interval=args.eval_interval,
+        eval_inner_batch_size=args.eval_batch,
+        eval_inner_iters=args.eval_iters,
+        num_eval_shots=args.shots,
+        lr=args.learning_rate,
+        transductive=args.transductive,
+        aug_rate=args.aug_rate)
+
+
+def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
+    return EvalConfig(
+        num_shots=args.shots,
+        test_shots=5,
+        inner_batch_size=inner_batch or args.eval_batch,
+        inner_iters=inner_iters or args.eval_iters,
+        replacement=args.replacement,
+        transductive=args.transductive,
+        augment=args.augment,
+        weight_decay_rate=args.weight_decay,
+        task_chunk_size=args.task_chunk_size)

@@ -1,0 +1,121 @@
+"""Joint (non-meta) segmentation training driver — joint_train.py parity.
+
+Trains EfficientLab on all training classes at once (1000-way + background)
+with SGD and a linear LR anneal, evaluating IoU on held-out batches
+(reference joint_train.py:295-344).
+"""
+import argparse
+import time
+
+import jax
+
+from mliis_tpu.data import manifests
+from mliis_tpu.data.synthetic import make_synthetic_store
+from mliis_tpu.data.task_store import load_task_store
+from mliis_tpu.joint.trainer import (JointTrainConfig, JointTrainer,
+                                     joint_dataset_from_task_store)
+from mliis_tpu.meta.inner_loop import OptimizerConfig, init_model_state
+from mliis_tpu.models.efficientlab import EfficientLab
+from mliis_tpu.utils import checkpoint as ckpt_lib
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train segmentation model via SGD.")
+    add = parser.add_argument
+    add('--data_dir', type=str, default=None)
+    add('--model_name', default='efficientlab')
+    add('--feature_extractor_name', default='efficientnet-b0')
+    add('--rsd', type=int, nargs='+', default=[2])
+    add('--loss_name', default='cross_entropy')
+    add('--sgd', action='store_true')
+    add('--l2', action='store_true')
+    add('--augment', action='store_true')
+    add('--final_layer_dropout_rate', type=float, default=0.0)
+    add('--image_size', type=int, default=224)
+    add('--seperate_background_channel', action='store_true')
+    add('--fp_k_test_set', action='store_true')
+    add('--test_on_val_set', action='store_true')
+    add('--restore_efficient_net_weights_from', type=str, default=None)
+    add('--batch_size', default=64, type=int)
+    add('--epochs', default=200, type=int)
+    add('--steps_per_epoch', type=int, default=None)
+    add('--learning_rate', default=0.005, type=float)
+    add('--final_learning_rate', default=5e-7, type=float)
+    add('--label_smoothing', default=0.0, type=float)
+    add('--val_batches', default=20, type=int)
+    add('--pretrained', action='store_true', default=False)
+    add('--eval_interval', default=2, type=int)
+    add('--seed', default=0, type=int)
+    add('--checkpoint', default='/tmp/model_checkpoint', type=str)
+    add('--synthetic', action='store_true')
+    add('--synthetic_tasks', type=int, default=8)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    start = time.time()
+    args = parse_args(argv)
+
+    if args.synthetic:
+        store = make_synthetic_store(num_tasks=args.synthetic_tasks,
+                                     examples_per_task=10,
+                                     image_size=args.image_size,
+                                     seed=args.seed)
+        n_test = max(args.synthetic_tasks // 4, 1)
+        test_store = store.subset(range(n_test))
+        train_store = store.subset(range(n_test, store.num_tasks))
+        all_classes = sorted(store.names)
+    else:
+        store = load_task_store(args.data_dir, image_size=args.image_size)
+        train_classes, test_classes = (manifests.TRAIN_TASK_IDS,
+                                       manifests.TEST_TASK_IDS)
+        all_classes = sorted(list(train_classes) + list(test_classes))
+        if args.fp_k_test_set:
+            test_classes = manifests.FP_K_TEST_TASK_IDS
+            train_classes = [x for x in all_classes if x not in test_classes]
+        assert not set(test_classes) & set(train_classes), \
+            "train-test class names overlap"
+        present = set(store.names)
+        train_store = store.subset_by_names(
+            [n for n in train_classes if n in present])
+        test_store = store.subset_by_names(
+            [n for n in test_classes if n in present])
+
+    train_ds = joint_dataset_from_task_store(train_store, all_classes)
+    test_ds = joint_dataset_from_task_store(test_store, all_classes)
+    num_classes = len(all_classes)
+    print("building dataset with labels with {} mask channels".format(
+        num_classes + 1))
+
+    model = EfficientLab(
+        n_classes=num_classes,
+        separate_background_channel=True,
+        feature_extractor_name=args.feature_extractor_name,
+        rsd=tuple(args.rsd) if args.rsd else None,
+        final_layer_dropout_rate=args.final_layer_dropout_rate)
+    opt_cfg = OptimizerConfig(name="sgd" if args.sgd else "adam")
+    state = init_model_state(model, jax.random.PRNGKey(args.seed),
+                             args.image_size, opt_cfg)
+    if args.restore_efficient_net_weights_from:
+        state, _ = ckpt_lib.restore_checkpoint(
+            args.restore_efficient_net_weights_from, state,
+            filter_to_scopes=[args.feature_extractor_name.replace("-", "_")])
+
+    config = JointTrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        learning_rate=args.learning_rate,
+        final_learning_rate=args.final_learning_rate,
+        label_smoothing=args.label_smoothing, augment=args.augment,
+        l2=args.l2, eval_interval=args.eval_interval,
+        val_batches=args.val_batches)
+    trainer = JointTrainer(model, train_ds, test_ds, config, opt_cfg)
+    trainer.train(state, args.checkpoint, jax.random.PRNGKey(args.seed + 1))
+
+    print("Finished training")
+    print("Experiment took {} hours".format((time.time() - start) / 3600.0))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Dataset converters: FSS-1000 raw images -> task shards.
+
+Parity with the reference converters:
+  - per-task shards (data/fss_1000_image_to_tfrecord.py): each class
+    directory of {i}.jpg + {i}.png mask pairs becomes one gzip tfrecord (or
+    npz) shard; images must be exactly 224x224 or the sample is skipped;
+    masks take the first channel (fg encoded 255);
+  - joint shards (data/fss_1000_image_to_joint_tfrecord_shards.py): the
+    TPU-native joint path needs no one-hot shard materialization — the
+    JointDataset derives integer class maps from the per-task store
+    (mliis_tpu/joint/trainer.py), so converting once is enough for both.
+
+Host-side multiprocessing mirrors the reference converter's Pool usage for
+the offline path.
+"""
+import glob
+import os
+from multiprocessing import Pool
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from mliis_tpu.data import tfrecord
+from mliis_tpu.data.manifests import IMAGE_DIMS
+
+
+def _read_image(path: str) -> Optional[np.ndarray]:
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im)
+
+
+def load_class_dir(class_dir: str, image_dims: int = IMAGE_DIMS
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read {i}.jpg/{i}.png pairs; skip wrong-sized samples (converter
+    parity: fss_1000_image_to_tfrecord.py image_to_feature)."""
+    images, masks = [], []
+    jpgs = sorted(glob.glob(os.path.join(class_dir, "*.jpg")),
+                  key=lambda p: os.path.basename(p))
+    for jpg in jpgs:
+        stem = os.path.splitext(os.path.basename(jpg))[0]
+        png = os.path.join(class_dir, stem + ".png")
+        if not os.path.exists(png):
+            continue
+        img = _read_image(jpg)
+        msk = _read_image(png)
+        if img is None or msk is None:
+            continue
+        if img.shape[0] != image_dims or img.shape[1] != image_dims:
+            print("{} is not of expected image dimensions. "
+                  "Skipping this sample".format(jpg))
+            continue
+        if msk.ndim > 2:
+            msk = msk[:, :, 0]
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        images.append(img[:, :, :3].astype(np.uint8))
+        masks.append(msk.astype(np.uint8))
+    if not images:
+        return (np.zeros((0, image_dims, image_dims, 3), np.uint8),
+                np.zeros((0, image_dims, image_dims), np.uint8))
+    return np.stack(images), np.stack(masks)
+
+
+def _convert_one(job) -> Optional[str]:
+    class_dir, out_dir, fmt, image_dims = job
+    name = os.path.basename(class_dir.rstrip("/"))
+    images, masks = load_class_dir(class_dir, image_dims)
+    if images.shape[0] == 0:
+        print("No valid samples in {}; skipping shard.".format(class_dir))
+        return None
+    if fmt == "tfrecord":
+        out_path = os.path.join(out_dir, name + ".tfrecord.gzip")
+        tfrecord.write_segmentation_shard(out_path, images, masks)
+    else:
+        out_path = os.path.join(out_dir, name + ".npz")
+        np.savez_compressed(out_path, images=images, masks=masks)
+    return out_path
+
+
+def convert_fss_1000(fss_root: str, out_dir: str, fmt: str = "tfrecord",
+                     image_dims: int = IMAGE_DIMS,
+                     num_workers: int = 8) -> List[str]:
+    """Convert every class directory under `fss_root` into one shard."""
+    assert fmt in ("tfrecord", "npz")
+    os.makedirs(out_dir, exist_ok=True)
+    class_dirs = sorted(d for d in glob.glob(os.path.join(fss_root, "*"))
+                        if os.path.isdir(d))
+    jobs = [(d, out_dir, fmt, image_dims) for d in class_dirs]
+    if num_workers > 1 and len(jobs) > 1:
+        with Pool(min(num_workers, 8)) as pool:
+            results = pool.map(_convert_one, jobs)
+    else:
+        results = [_convert_one(j) for j in jobs]
+    written = [r for r in results if r]
+    print("Wrote {} shards to {}".format(len(written), out_dir))
+    return written
+
+
+def main(argv=None):
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="Convert FSS-1000 image dirs to task shards.")
+    parser.add_argument("--fss_root", required=True)
+    parser.add_argument("--out_dir", required=True)
+    parser.add_argument("--format", default="tfrecord",
+                        choices=["tfrecord", "npz"])
+    parser.add_argument("--image_dims", type=int, default=IMAGE_DIMS)
+    parser.add_argument("--num_workers", type=int, default=8)
+    args = parser.parse_args(argv)
+    convert_fss_1000(args.fss_root, args.out_dir, args.format,
+                     args.image_dims, args.num_workers)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,280 @@
+"""Joint (non-meta) training baseline: N-way segmentation over all tasks.
+
+Reference: joint_train.py — EfficientLab with n_classes = number of FSS
+classes (+ background channel 0), trained by plain SGD over shuffled shards
+with a linear per-epoch LR anneal (joint_train.py:332-335), periodic val-IoU
+callbacks (:248-258) and checkpointing. (Its `get_model_kwargs` reads the
+nonexistent `parsed_args.lsd` — joint_train.py:92 — which silently dropped
+the rsd config; fixed here, not reproduced.)
+
+TPU-native design departures:
+  - labels are integer class maps, not 1001-channel one-hot tensors; the CE
+    loss gathers log-probabilities at the label index, so the only
+    full-channel tensor is the logits themselves;
+  - many SGD steps run per device launch via lax.scan over pre-sampled
+    batch indices (the whole epoch is index arithmetic over the
+    device-resident example store);
+  - augmentation (translate/fliplr/noise/exposure — the joint-path subset,
+    joint_train.py:140-148) runs on-device on (image, int-mask) pairs.
+"""
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mliis_tpu.data.task_store import TaskStore
+from mliis_tpu.meta.inner_loop import (ModelState, OptimizerConfig, OptState,
+                                       apply_optimizer, init_opt_state)
+from mliis_tpu.ops import augment as augment_lib
+from mliis_tpu.utils import checkpoint as ckpt_lib
+from mliis_tpu.utils.logging import MetricsWriter
+
+
+@dataclasses.dataclass
+class JointDataset:
+    """Flat example store with integer class masks (0 = background)."""
+    images: np.ndarray        # [N, H, W, 3] uint8
+    labels: np.ndarray        # [N, H, W] int32 class ids
+    class_names: List[str]    # index c-1 -> name (0 is background)
+
+    @property
+    def num_examples(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+
+def joint_dataset_from_task_store(store: TaskStore,
+                                  class_names: Optional[List[str]] = None
+                                  ) -> JointDataset:
+    """Flatten a per-task store into a joint dataset; class id = 1 + index of
+    the task name in the sorted global class list (the reference's channel
+    assignment, fss_1000_image_to_joint_tfrecord_shards.py)."""
+    if class_names is None:
+        class_names = sorted(store.names)
+    name_to_id = {n: i + 1 for i, n in enumerate(class_names)}
+    images, labels = [], []
+    for t in range(store.num_tasks):
+        n = int(store.counts[t])
+        class_id = name_to_id[store.names[t]]
+        images.append(store.images[t, :n])
+        fg = store.masks[t, :n] > 127
+        labels.append(fg.astype(np.int32) * class_id)
+    return JointDataset(np.concatenate(images), np.concatenate(labels),
+                        class_names)
+
+
+def _augment_joint(key, image, label, num_classes: int):
+    """fliplr / translate / gaussian noise / exposure on (image, int label)."""
+    del num_classes
+    ks = jax.random.split(key, 5)
+    # Represent the label as a single channel so mask-transforming augs
+    # stay aligned; background fill is class 0.
+    do_flip = jax.random.bernoulli(ks[0])
+    image = jnp.where(do_flip, image[:, ::-1, :], image)
+    label = jnp.where(do_flip, label[:, ::-1], label)
+
+    do_translate = jax.random.bernoulli(ks[1])
+    shift = jax.random.randint(ks[2], (), 1, 24)
+    direction = jax.random.bernoulli(ks[3])
+    shift = jnp.where(direction, shift, -shift)
+    vert = jax.random.bernoulli(ks[4])
+    axis = jnp.where(vert, 0, 1)
+
+    def tshift(arr, fill, ax):
+        rolled = jnp.roll(arr, shift, axis=ax)
+        idx = jax.lax.broadcasted_iota(jnp.int32, rolled.shape[:2], ax)
+        if arr.ndim == 3:
+            idx = idx[..., None]
+        size = arr.shape[ax]
+        stripe = jnp.where(shift >= 0, idx < shift, idx >= size + shift)
+        return jnp.where(stripe, fill, rolled)
+
+    timg0 = tshift(image, 0.0, 0)
+    tlab0 = tshift(label, 0, 0)
+    timg1 = tshift(image, 0.0, 1)
+    tlab1 = tshift(label, 0, 1)
+    timg = jnp.where(axis == 0, timg0, timg1)
+    tlab = jnp.where(axis == 0, tlab0, tlab1)
+    image = jnp.where(do_translate, timg, image)
+    label = jnp.where(do_translate, tlab, label)
+
+    k_noise = jax.random.fold_in(key, 1)
+    image, _ = augment_lib.additive_gaussian_noise(
+        k_noise, image, jnp.zeros(image.shape[:2] + (1,)))
+    k_exp = jax.random.fold_in(key, 2)
+    image, _ = augment_lib.exposure(k_exp, image, jnp.zeros(image.shape[:2] + (1,)))
+    return image, label
+
+
+def sparse_segmentation_loss(logits, labels, label_smoothing: float = 0.0):
+    """Mean CE over pixels with integer labels (no one-hot materialized)."""
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    n_classes = logits.shape[-1]
+    picked = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    if label_smoothing:
+        # smoothed CE = (1-eps)*CE(label) + eps/C * sum_c CE(c)
+        mean_all = jnp.mean(log_probs, axis=-1)
+        picked = (1.0 - label_smoothing) * picked + label_smoothing * mean_all
+    return -jnp.mean(picked)
+
+
+@dataclasses.dataclass
+class JointTrainConfig:
+    batch_size: int = 8
+    epochs: int = 200
+    steps_per_epoch: Optional[int] = None
+    learning_rate: float = 0.005
+    final_learning_rate: float = 5e-7
+    label_smoothing: float = 0.0
+    augment: bool = True
+    l2: bool = True
+    eval_interval: int = 2
+    val_batches: int = 20
+    save_checkpoint_every_n_epochs: int = 2
+    steps_per_launch: int = 8   # SGD steps fused per device launch
+
+
+class JointTrainer:
+    def __init__(self, model, dataset: JointDataset, val_dataset: JointDataset,
+                 config: JointTrainConfig,
+                 opt_config: OptimizerConfig = OptimizerConfig("sgd")):
+        self.model = model
+        self.config = config
+        self.opt_config = opt_config
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self._images = jnp.asarray(dataset.images)
+        self._labels = jnp.asarray(dataset.labels)
+        self._val_images = jnp.asarray(val_dataset.images)
+        self._val_labels = jnp.asarray(val_dataset.labels)
+        self._train_launch = jax.jit(self._make_train_launch(),
+                                     donate_argnums=(0,))
+        self._val_step = jax.jit(self._make_val_step())
+
+    def _loss(self, params, batch_stats, images, labels, key):
+        (logits, _), mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, rngs={"dropout": key}, mutable=["batch_stats"])
+        loss = sparse_segmentation_loss(logits, labels,
+                                        self.config.label_smoothing)
+        if self.config.l2:
+            from mliis_tpu.ops.losses import l2_term
+            loss = loss + l2_term(params)
+        return loss, mutated["batch_stats"]
+
+    def _make_train_launch(self):
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        cfg = self.config
+
+        def launch(state: ModelState, batch_idx, keys, lr):
+            def step(carry, xs):
+                st = carry
+                idx, key = xs
+                k_aug, k_drop = jax.random.split(key)
+                images = self._images[idx].astype(jnp.float32)
+                labels = self._labels[idx]
+                if cfg.augment:
+                    aug_keys = jax.random.split(k_aug, images.shape[0])
+                    images, labels = jax.vmap(
+                        lambda k, i, l: _augment_joint(
+                            k, i, l, self.dataset.num_classes)
+                    )(aug_keys, images, labels)
+                (loss, new_bn), grads = grad_fn(st.params, st.batch_stats,
+                                                images, labels, k_drop)
+                new_params, new_opt = apply_optimizer(
+                    st.params, grads, st.opt, lr, self.opt_config)
+                return ModelState(new_params, new_bn, new_opt), loss
+
+            return jax.lax.scan(step, state, (batch_idx, keys))
+
+        return launch
+
+    def _make_val_step(self):
+        def val_step(state: ModelState, idx):
+            images = self._val_images[idx].astype(jnp.float32)
+            labels = self._val_labels[idx]
+            logits, probs = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                images, train=False)
+            loss = sparse_segmentation_loss(logits, labels)
+            preds = jnp.argmax(probs, axis=-1)
+            # Multi-class hard IoU over all channels (Gecko._iou with
+            # class_of_interest_channel=None): intersection/union of the
+            # one-hot maps == accuracy-style count over matching pixels.
+            inter = jnp.sum(preds == labels, axis=(1, 2)).astype(jnp.float32)
+            total = labels.shape[1] * labels.shape[2]
+            union = 2 * total - inter
+            iou = jnp.mean((inter + 1e-7) / (union + 1e-7))
+            return iou, loss
+
+        return val_step
+
+    def lr_fn(self, epoch: int) -> float:
+        frac_done = epoch / self.config.epochs
+        return (frac_done * self.config.final_learning_rate
+                + (1 - frac_done) * self.config.learning_rate)
+
+    def train(self, state: ModelState, save_dir: str, key,
+              time_deadline: Optional[float] = None,
+              log_fn=print) -> ModelState:
+        cfg = self.config
+        os.makedirs(save_dir, exist_ok=True)
+        writer = MetricsWriter(save_dir, "joint_train")
+        steps_per_epoch = cfg.steps_per_epoch
+        if steps_per_epoch is None:
+            steps_per_epoch = max(
+                int(self.dataset.num_examples // cfg.batch_size), 1)
+        n = self.dataset.num_examples
+        ious = []
+        for epoch in range(cfg.epochs):
+            start = time.time()
+            lr = self.lr_fn(epoch)
+            done = 0
+            while done < steps_per_epoch:
+                launch_steps = min(cfg.steps_per_launch,
+                                   steps_per_epoch - done)
+                key, k_idx, k_steps = jax.random.split(key, 3)
+                batch_idx = jax.random.randint(
+                    k_idx, (launch_steps, cfg.batch_size), 0, n)
+                keys = jax.random.split(k_steps, launch_steps)
+                state, losses = self._train_launch(state, batch_idx, keys,
+                                                   jnp.float32(lr))
+                done += launch_steps
+            jax.block_until_ready(state.params)
+            elapsed = time.time() - start
+            log_fn("Epoch {}: lr {:.2e}, {} steps, {:.2f} iters/s".format(
+                epoch, lr, steps_per_epoch, steps_per_epoch / elapsed))
+            writer.scalar("iters_per_sec", steps_per_epoch / elapsed, epoch)
+
+            if epoch % cfg.eval_interval == 0:
+                val_ious, val_losses = [], []
+                for _ in range(cfg.val_batches):
+                    key, k_val = jax.random.split(key)
+                    idx = jax.random.randint(
+                        k_val, (cfg.batch_size,), 0,
+                        self.val_dataset.num_examples)
+                    iou, loss = self._val_step(state, idx)
+                    val_ious.append(float(iou))
+                    val_losses.append(float(loss))
+                iou = float(np.nanmean(val_ious))
+                ious.append(iou)
+                log_fn("Val IoU at epoch {}: {} (loss {})".format(
+                    epoch, iou, float(np.nanmean(val_losses))))
+                writer.scalar("val_IoU", iou, epoch)
+                writer.scalar("val_loss", float(np.nanmean(val_losses)), epoch)
+
+            if (epoch % cfg.save_checkpoint_every_n_epochs == 0
+                    or epoch == cfg.epochs - 1):
+                ckpt_lib.save_checkpoint(save_dir, state, epoch)
+            if time_deadline is not None and time.time() > time_deadline:
+                break
+        writer.close()
+        log_fn("Training complete. History: {}".format(ious))
+        return state

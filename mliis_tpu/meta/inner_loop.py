@@ -88,15 +88,32 @@ def apply_optimizer(params: Pytree, grads: Pytree, opt_state: OptState,
 
 
 def init_model_state(model, key, image_size: int,
-                     opt_config: OptimizerConfig) -> ModelState:
-    """Initialize params/BN stats/optimizer slots for a fresh model."""
+                     opt_config: OptimizerConfig,
+                     init_on_cpu: bool = True) -> ModelState:
+    """Initialize params/BN stats/optimizer slots for a fresh model.
+
+    Initialization compiles the full init graph; on accelerators behind slow
+    compile paths that is pure waste, so by default it runs on the host CPU
+    backend and the resulting (tiny) state is transferred to the default
+    device afterwards.
+    """
     k_params, k_drop = jax.random.split(key)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    variables = model.init({"params": k_params, "dropout": k_drop}, dummy,
-                           train=True)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    return ModelState(params, batch_stats, init_opt_state(params, opt_config))
+
+    def _init():
+        variables = model.init({"params": k_params, "dropout": k_drop}, dummy,
+                               train=True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return ModelState(params, batch_stats,
+                          init_opt_state(params, opt_config))
+
+    cpu_devices = jax.devices("cpu") if init_on_cpu else []
+    if cpu_devices and jax.default_backend() != "cpu":
+        with jax.default_device(cpu_devices[0]):
+            state = _init()
+        return jax.device_put(state, jax.devices()[0])
+    return _init()
 
 
 def make_loss_and_grad(model, loss_config: LossConfig):

@@ -1,0 +1,129 @@
+"""Meta-training loop driver (the train_gecko equivalent, train.py:18-135).
+
+Orchestration stays on the host (checkpointing, eval intervals, annealing,
+deadlines); each meta-step is one donated jitted XLA program from
+meta/learners.py. The linear meta-step anneal, periodic train/test eval with
+IoU scalars, best-seen checkpointing, periodic checkpoints with
+max_to_keep=2, and time-deadline early exit all mirror the reference.
+"""
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mliis_tpu.data.task_store import TaskStore
+from mliis_tpu.meta.evaluate import EvalConfig, GeckoEvaluator
+from mliis_tpu.meta.inner_loop import LossConfig, ModelState, OptimizerConfig
+from mliis_tpu.meta.learners import (MetaTrainConfig, make_train_step,
+                                     meta_step_size_schedule)
+from mliis_tpu.utils import checkpoint as ckpt_lib
+from mliis_tpu.utils.logging import MetricsWriter, log_estimated_time_remaining
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    meta_iters: int = 50000
+    meta_step_size: float = 0.1
+    meta_step_size_final: float = 0.1
+    eval_interval: int = 10
+    eval_inner_batch_size: int = 8
+    eval_inner_iters: int = 59
+    num_eval_shots: int = 5
+    num_tasks_to_eval: int = 100
+    save_checkpoint_every_n_meta_iters: int = 100
+    max_checkpoints_to_keep: int = 2
+    save_best_seen: bool = False
+    time_deadline: Optional[float] = None
+    lr: float = 5e-4
+    transductive: bool = False
+    aug_rate: Optional[float] = None
+
+
+def train_gecko(model, state: ModelState, train_store: TaskStore,
+                test_store: TaskStore, save_dir: str,
+                loss_config: LossConfig, opt_config: OptimizerConfig,
+                meta_config: MetaTrainConfig, loop_config: TrainLoopConfig,
+                key, log_fn: Callable = print,
+                eval_task_chunk_size: int = 8) -> ModelState:
+    """Run meta-training; returns the final ModelState."""
+    os.makedirs(save_dir, exist_ok=True)
+    cfg = loop_config
+
+    train_step = jax.jit(
+        make_train_step(model, loss_config, opt_config, meta_config,
+                        n_max=train_store.images.shape[1]),
+        donate_argnums=(0,))
+
+    eval_cfg = EvalConfig(
+        num_shots=cfg.num_eval_shots,
+        inner_batch_size=cfg.eval_inner_batch_size,
+        inner_iters=cfg.eval_inner_iters,
+        transductive=cfg.transductive,
+        augment=meta_config.augment,
+        weight_decay_rate=meta_config.weight_decay_rate,
+        task_chunk_size=eval_task_chunk_size)
+    evaluators = {
+        "train": GeckoEvaluator(model, loss_config, opt_config, eval_cfg,
+                                train_store),
+        "test": GeckoEvaluator(model, loss_config, opt_config, eval_cfg,
+                               test_store),
+    }
+    writers = {split: MetricsWriter(save_dir, split)
+               for split in ("train", "test")}
+
+    store_images = jnp.asarray(train_store.images)
+    store_masks = jnp.asarray(train_store.masks)
+    store_counts = jnp.asarray(train_store.counts)
+
+    best_eval_iou = -np.inf
+    best_save_dir = os.path.join(save_dir, "best_eval")
+
+    for i in range(cfg.meta_iters):
+        begin_time = time.time()
+        cur_meta_step_size = meta_step_size_schedule(
+            i, cfg.meta_iters, cfg.meta_step_size, cfg.meta_step_size_final)
+        key, step_key = jax.random.split(key)
+        state = train_step(state, store_images, store_masks, store_counts,
+                           step_key, jnp.float32(cur_meta_step_size),
+                           jnp.float32(cfg.lr))
+
+        if i % cfg.eval_interval == 0:
+            jax.block_until_ready(state.params)
+            mean_ious = []
+            for split in ("train", "test"):
+                key, eval_key = jax.random.split(key)
+                mean_iou, _ = evaluators[split].evaluate(
+                    state, eval_key, lr=cfg.lr, eval_all_tasks=False,
+                    num_tasks_to_sample=cfg.num_tasks_to_eval,
+                    aug_rate=cfg.aug_rate)
+                writers[split].scalar("IoU", mean_iou, i)
+                writers[split].scalar("meta_step_size", cur_meta_step_size, i)
+                mean_ious.append(mean_iou)
+            log_fn("Train step %d: train=%f test=%f"
+                   % (i, mean_ious[0], mean_ious[1]))
+
+            if cfg.save_best_seen and mean_ious[1] > best_eval_iou:
+                best_eval_iou = mean_ious[1]
+                log_fn("Highest test-set evaluation IoU seen at step {}: {}"
+                       .format(i, best_eval_iou))
+                ckpt_lib.save_checkpoint(best_save_dir, state, i,
+                                         max_to_keep=1,
+                                         metadata={"best_iou": best_eval_iou})
+
+        if (i % cfg.save_checkpoint_every_n_meta_iters == 0
+                or i == cfg.meta_iters - 1):
+            ckpt_lib.save_checkpoint(save_dir, state, i,
+                                     max_to_keep=cfg.max_checkpoints_to_keep)
+        if cfg.time_deadline is not None and time.time() > cfg.time_deadline:
+            log_fn("Time deadline reached at step {}".format(i))
+            break
+        log_estimated_time_remaining(begin_time, i, cfg.meta_iters,
+                                     log_fn=lambda *a: None)
+
+    for w in writers.values():
+        w.close()
+    return state

@@ -1,0 +1,88 @@
+"""Joint trainer and k-shot experiment tests on the tiny model."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mliis_tpu.data.synthetic import make_synthetic_store
+from mliis_tpu.joint.trainer import (JointTrainConfig, JointTrainer,
+                                     joint_dataset_from_task_store,
+                                     sparse_segmentation_loss)
+from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
+                                       init_model_state)
+from mliis_tpu.meta.kshot import run_k_shot_learning_curves_experiment
+from tests.tiny_model import TinySeg
+
+IMG = 16
+
+
+def test_joint_dataset_from_task_store():
+    store = make_synthetic_store(num_tasks=4, examples_per_task=5,
+                                 image_size=IMG)
+    ds = joint_dataset_from_task_store(store)
+    assert ds.num_examples == 20
+    assert ds.num_classes == 4
+    # class ids are 1-based with background 0, assigned by sorted name
+    ids = set(np.unique(ds.labels).tolist())
+    assert 0 in ids and max(ids) <= 4
+    # every flattened example keeps its foreground pixel count
+    fg_store = (store.masks > 127).sum()
+    fg_joint = (ds.labels > 0).sum()
+    assert fg_store == fg_joint
+
+
+def test_sparse_loss_matches_dense_ce(rng):
+    import jax.numpy as jnp
+    from mliis_tpu.ops.losses import softmax_cross_entropy
+    logits = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, (2, 4, 4))
+    sparse = float(sparse_segmentation_loss(jnp.asarray(logits),
+                                            jnp.asarray(labels)))
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    dense = float(softmax_cross_entropy(jnp.asarray(logits.reshape(-1, 3)),
+                                        jnp.asarray(onehot.reshape(-1, 3))))
+    assert abs(sparse - dense) < 1e-5
+
+
+def test_joint_trainer_runs_and_checkpoints(tmp_path):
+    store = make_synthetic_store(num_tasks=4, examples_per_task=6,
+                                 image_size=IMG)
+    train_ds = joint_dataset_from_task_store(store)
+    model = TinySeg(n_output_channels=train_ds.num_classes + 1)
+    cfg = JointTrainConfig(batch_size=4, epochs=2, steps_per_epoch=3,
+                           learning_rate=0.01, augment=True, l2=False,
+                           eval_interval=1, val_batches=2,
+                           steps_per_launch=2,
+                           save_checkpoint_every_n_epochs=1)
+    trainer = JointTrainer(model, train_ds, train_ds, cfg,
+                           OptimizerConfig("sgd"))
+    state = init_model_state(model, jax.random.PRNGKey(0), IMG,
+                             OptimizerConfig("sgd"))
+    logs = []
+    out = trainer.train(state, str(tmp_path), jax.random.PRNGKey(1),
+                        log_fn=logs.append)
+    for leaf in jax.tree_util.tree_leaves(out.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert any(f.startswith("model.ckpt") for f in os.listdir(str(tmp_path)))
+    assert any("Val IoU" in str(line) for line in logs)
+
+
+def test_k_shot_learning_curves(tmp_path):
+    store = make_synthetic_store(num_tasks=2, examples_per_task=10,
+                                 image_size=IMG)
+    model = TinySeg()
+    opt_cfg = OptimizerConfig("sgd")
+    state = init_model_state(model, jax.random.PRNGKey(0), IMG, opt_cfg)
+    csv_path = str(tmp_path / "k-shot-results.csv")
+    ks, results = run_k_shot_learning_curves_experiment(
+        model, LossConfig(l2=False), opt_cfg, state, store,
+        jax.random.PRNGKey(1), num_samples=1, k_range=[1, 4],
+        iter_range=[1, 2], eval_inner_batch_size=2, lr=0.01,
+        test_samples=4, csv_outpath=csv_path, log_fn=lambda *a: None)
+    assert ks == [1, 4, 1, 4]
+    assert len(results) == 4
+    assert all(0.0 <= r <= 1.0 for r in results)
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "k,mIoU" and len(lines) == 5

@@ -1,0 +1,111 @@
+"""Mesh-sharding tests on the 8-device virtual CPU mesh: sharded train step
+semantics (vs. single-device), sharded eval chunks, dryrun entry points."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mliis_tpu.data.synthetic import make_synthetic_store
+from mliis_tpu.meta.evaluate import EvalConfig, make_eval_task_fn
+from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
+                                       init_model_state)
+from mliis_tpu.meta.learners import MetaTrainConfig
+from mliis_tpu.parallel.mesh import (make_sharded_eval_chunk,
+                                     make_sharded_train_step, make_task_mesh,
+                                     replicate_to_mesh)
+from tests.tiny_model import TinySeg
+
+IMG = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest should force 8 CPU devices"
+    store = make_synthetic_store(num_tasks=8, examples_per_task=10,
+                                 image_size=IMG, seed=0)
+    model = TinySeg()
+    loss_cfg = LossConfig(l2=False)
+    opt_cfg = OptimizerConfig(name="sgd")
+    state = init_model_state(model, jax.random.PRNGKey(0), IMG, opt_cfg)
+    return store, model, loss_cfg, opt_cfg, state
+
+
+def _np_snapshot(tree):
+    return [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(tree)]
+
+
+def test_sharded_fomaml_star_step(setup):
+    store, model, loss_cfg, opt_cfg, state = setup
+    before = _np_snapshot(state.params)
+    mesh = make_task_mesh(8)
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3, inner_iters=3,
+                          meta_batch_size=5, foml=True, tail_shots=2,
+                          augment=False)
+    step = make_sharded_train_step(model, loss_cfg, opt_cfg, cfg, n_max=10,
+                                   mesh=mesh)
+    # Donation-safe owned copy (replicate_to_mesh aliases on a shared device).
+    state_r = replicate_to_mesh(jax.tree_util.tree_map(jnp.array, state), mesh)
+    args = replicate_to_mesh((jnp.asarray(store.images),
+                              jnp.asarray(store.masks),
+                              jnp.asarray(store.counts)), mesh)
+    out = step(state_r, *args, jax.random.PRNGKey(1), jnp.float32(0.1),
+               jnp.float32(0.01))
+    for leaf in jax.tree_util.tree_leaves(out.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    deltas = [float(np.abs(np.asarray(a) - b).max())
+              for a, b in zip(jax.tree_util.tree_leaves(out.params), before)]
+    assert max(deltas) > 0
+
+
+def test_sharded_reptile_zero_step_identity(setup):
+    store, model, loss_cfg, opt_cfg, state = setup
+    before = _np_snapshot(state.params)
+    mesh = make_task_mesh(4)
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3, inner_iters=2,
+                          meta_batch_size=3, foml=False, augment=False)
+    step = make_sharded_train_step(model, loss_cfg, opt_cfg, cfg, n_max=10,
+                                   mesh=mesh)
+    state_r = replicate_to_mesh(jax.tree_util.tree_map(jnp.array, state), mesh)
+    args = replicate_to_mesh((jnp.asarray(store.images),
+                              jnp.asarray(store.masks),
+                              jnp.asarray(store.counts)), mesh)
+    out = step(state_r, *args, jax.random.PRNGKey(1), jnp.float32(0.0),
+               jnp.float32(0.01))
+    for a, b in zip(jax.tree_util.tree_leaves(out.params), before):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-6)
+
+
+def test_sharded_eval_chunk_matches_unsharded(setup):
+    """Sharded and unsharded eval must produce identical IoUs for identical
+    keys (pure functions of the same inputs)."""
+    store, model, loss_cfg, opt_cfg, state = setup
+    mesh = make_task_mesh(8)
+    cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=4,
+                     inner_iters=2, augment=False, task_chunk_size=8)
+    sharded = make_sharded_eval_chunk(model, loss_cfg, opt_cfg, cfg,
+                                      n_max=10, mesh=mesh)
+    eval_task = make_eval_task_fn(model, loss_cfg, opt_cfg, cfg, n_max=10)
+    unsharded = jax.jit(jax.vmap(eval_task,
+                                 in_axes=(None, 0, 0, 0, 0, None, None, None)))
+    imgs = jnp.asarray(store.images)
+    msks = jnp.asarray(store.masks)
+    cnts = jnp.asarray(store.counts)
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    a = sharded(state, imgs, msks, cnts, keys, jnp.float32(0.01),
+                jnp.float32(0.0), None)
+    b = unsharded(state, imgs, msks, cnts, keys, jnp.float32(0.01),
+                  jnp.float32(0.0), None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 224, 224, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
