@@ -157,7 +157,10 @@ def meta_train_config(args) -> MetaTrainConfig:
             args.sample_foml_train_val_with_replacement),
         augment=args.augment,
         aug_rate=args.aug_rate,
-        weight_decay_rate=args.weight_decay)
+        weight_decay_rate=args.weight_decay,
+        lr_scheduler=args.learning_rate_scheduler,
+        lr_decay_rate=args.step_decay_rate,
+        lr_decay_after_n_steps=args.decay_after_n_steps)
 
 
 def train_loop_config(args) -> TrainLoopConfig:
@@ -184,4 +187,7 @@ def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
         transductive=args.transductive,
         augment=args.augment,
         weight_decay_rate=args.weight_decay,
+        lr_scheduler=args.learning_rate_scheduler,
+        lr_decay_rate=args.step_decay_rate,
+        lr_decay_after_n_steps=args.decay_after_n_steps,
         task_chunk_size=args.task_chunk_size)

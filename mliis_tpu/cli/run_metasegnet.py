@@ -200,7 +200,10 @@ def main(argv=None):
         mean_train_iou, _ = evaluate_gecko(
             train_evaluator, state, tr_key, lr=lr,
             num_samples=args.eval_samples, serially_eval_all_tasks=False,
-            num_tasks_to_sample=1, aug_rate=args.aug_rate)
+            num_tasks_to_sample=1, aug_rate=args.aug_rate,
+            save_fine_tuned_checkpoints=args.save_fine_tuned_checkpoints_train,
+            save_fine_tuned_checkpoints_dir=(
+                args.save_fine_tuned_checkpoints_dir))
 
     if args.eval_val_tasks:
         target_store, test_set_string = val_store, "val"
@@ -214,7 +217,9 @@ def main(argv=None):
     mean_test_iou, task_name_iou_map = evaluate_gecko(
         evaluator, state, te_key, lr=lr, num_samples=args.eval_samples,
         serially_eval_all_tasks=args.serially_eval_all_test_tasks,
-        num_tasks_to_sample=1, aug_rate=args.aug_rate)
+        num_tasks_to_sample=1, aug_rate=args.aug_rate,
+        save_fine_tuned_checkpoints=args.save_fine_tuned_checkpoints,
+        save_fine_tuned_checkpoints_dir=args.save_fine_tuned_checkpoints_dir)
 
     print("Evaluated meta-{} tasks:".format(test_set_string))
     print(task_name_iou_map)

@@ -103,21 +103,43 @@ def find_task_shards(data_dir: str) -> List[str]:
 
 
 def load_task_store(data_dir: str, image_size: int = 224,
-                    max_examples: Optional[int] = None) -> TaskStore:
-    """Load every per-task shard in `data_dir` into one TaskStore."""
+                    max_examples: Optional[int] = None,
+                    num_threads: int = 8) -> TaskStore:
+    """Load every per-task shard in `data_dir` into one TaskStore.
+
+    tfrecord shards go through the native C++ parallel loader when built
+    (native/tfrecord_loader.cc), falling back to the Python codec.
+    """
     shard_paths = find_task_shards(data_dir)
     if not shard_paths:
         raise FileNotFoundError(
             "No task shards (*.tfrecord*, *.npz) in {}".format(data_dir))
+
+    tf_paths = [p for p in shard_paths if not p.endswith(".npz")]
+    npz_paths = [p for p in shard_paths if p.endswith(".npz")]
+
     tasks, names = [], []
-    for path in shard_paths:
-        if path.endswith(".npz"):
-            with np.load(path, allow_pickle=False) as z:
-                images, masks = z["images"], z["masks"]
+    if tf_paths:
+        from mliis_tpu.data import native_loader
+        if max_examples is None:
+            probe_max = max(native_loader.count_examples(p)
+                            for p in tf_paths)
         else:
-            images, masks = tfrecord.read_segmentation_shard(path, image_size)
-        tasks.append((images, masks))
+            probe_max = max_examples
+        images, masks, counts = native_loader.read_shards(
+            tf_paths, image_size, probe_max, num_threads=num_threads)
+        for i, path in enumerate(tf_paths):
+            c = int(counts[i])
+            tasks.append((images[i, :c], masks[i, :c]))
+            names.append(task_name_from_path(path))
+    for path in npz_paths:
+        with np.load(path, allow_pickle=False) as z:
+            tasks.append((z["images"], z["masks"]))
         names.append(task_name_from_path(path))
+
+    order = np.argsort(names)
+    tasks = [tasks[i] for i in order]
+    names = [names[i] for i in order]
     return TaskStore.from_task_arrays(tasks, names, max_examples)
 
 

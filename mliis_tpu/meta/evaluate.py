@@ -31,7 +31,8 @@ import numpy as np
 from mliis_tpu.data.task_store import TaskStore
 from mliis_tpu.meta import episodes
 from mliis_tpu.meta.inner_loop import (LossConfig, ModelState,
-                                       OptimizerConfig, make_adapt_fn)
+                                       OptimizerConfig, make_adapt_fn,
+                                       make_lr_array)
 from mliis_tpu.ops.metrics import batched_hard_iou, ci95
 
 
@@ -44,6 +45,9 @@ class EvalConfig:
     replacement: bool = False
     transductive: bool = False
     augment: bool = True
+    lr_scheduler: str = "fixed"
+    lr_decay_rate: float = 0.5
+    lr_decay_after_n_steps: int = 5
     use_batch_stats_at_predict: bool = False
     weight_decay_rate: float = 1.0
     task_chunk_size: int = 8  # tasks vmapped per device launch
@@ -74,7 +78,9 @@ def make_eval_task_fn(model, loss_config: LossConfig,
             k_batches, config.num_shots, config.inner_batch_size,
             config.inner_iters, config.replacement)
         keys = jax.random.split(k_steps, config.inner_iters)
-        lrs = jnp.full((config.inner_iters,), lr, jnp.float32)
+        lrs = make_lr_array(lr, config.inner_iters, config.lr_scheduler,
+                            config.lr_decay_rate,
+                            config.lr_decay_after_n_steps)
 
         adapted, _ = adapt(state, support_images, support_masks, idx_matrix,
                            keys, lrs, drop_rate=drop_rate, aug_rate=aug_rate)
@@ -120,6 +126,10 @@ class GeckoEvaluator:
                  store: TaskStore, mesh=None):
         self.config = config
         self.store = store
+        self._model = model
+        self._loss_config = loss_config
+        self._opt_config = opt_config
+        self._adapt_task = None
         self._images = jnp.asarray(store.images)
         self._masks = jnp.asarray(store.masks)
         self._counts = jnp.asarray(store.counts)
@@ -157,10 +167,16 @@ class GeckoEvaluator:
                  eval_all_tasks: bool = False, num_tasks_to_sample: int = 1,
                  drop_rate: Optional[float] = None,
                  aug_rate: Optional[float] = 0.5,
-                 rng: Optional[pyrandom.Random] = None
+                 rng: Optional[pyrandom.Random] = None,
+                 save_fine_tuned_checkpoints: bool = False,
+                 save_fine_tuned_checkpoints_dir: Optional[str] = None,
+                 eval_sample_num: Optional[int] = None
                  ) -> Tuple[float, Dict[str, float]]:
         """One eval sample over the store (Gecko.evaluate semantics:
-        all tasks serially, or a random subsample)."""
+        all tasks serially, or a random subsample). Optionally exports the
+        per-task fine-tuned state (reptile.py:281-285) and, when the
+        SAVE_PREDICTIONS env toggle is set, predicted-mask overlays
+        (reptile.py:495-513)."""
         indices = list(range(self.store.num_tasks))
         if not eval_all_tasks:
             (rng or pyrandom).shuffle(indices)
@@ -169,7 +185,78 @@ class GeckoEvaluator:
                                    aug_rate)
         task_iou_map = {self.store.names[i]: float(iou)
                         for i, iou in zip(indices, ious)}
+
+        from mliis_tpu.utils.viz import save_predictions_enabled
+        if save_fine_tuned_checkpoints or save_predictions_enabled():
+            self._export_artifacts(
+                state, indices, key, lr, drop_rate, aug_rate,
+                save_fine_tuned_checkpoints, save_fine_tuned_checkpoints_dir,
+                eval_sample_num)
         return float(np.nanmean(ious)), task_iou_map
+
+    def _adapt_task_kernel(self, model, loss_config, opt_config):
+        if getattr(self, "_adapt_task", None) is not None:
+            return self._adapt_task
+        config = self.config
+        n_max = self.store.images.shape[1]
+        adapt = make_adapt_fn(model, loss_config, opt_config,
+                              weight_decay_rate=config.weight_decay_rate,
+                              augment=config.augment)
+        total = config.num_shots + config.test_shots
+
+        def adapt_task(state, task_images_u8, task_masks_u8, count, key, lr,
+                       drop_rate, aug_rate):
+            k_sample, k_split, k_batches, k_steps = jax.random.split(key, 4)
+            shot_idx = episodes.sample_shot_indices(k_sample, count, total,
+                                                    n_max)
+            support_rel, query_rel = episodes.split_support_query(
+                k_split, total, config.test_shots)
+            support_idx = shot_idx[support_rel]
+            query_idx = shot_idx[query_rel]
+            idx_matrix = episodes.batch_indices(
+                k_batches, config.num_shots, config.inner_batch_size,
+                config.inner_iters, config.replacement)
+            keys = jax.random.split(k_steps, config.inner_iters)
+            lrs = make_lr_array(lr, config.inner_iters, config.lr_scheduler,
+                                config.lr_decay_rate,
+                                config.lr_decay_after_n_steps)
+            adapted, _ = adapt(state, task_images_u8[support_idx],
+                               task_masks_u8[support_idx], idx_matrix, keys,
+                               lrs, drop_rate=drop_rate, aug_rate=aug_rate)
+            query_images = task_images_u8[query_idx].astype(jnp.float32)
+            _, probs = model.apply(
+                {"params": adapted.params,
+                 "batch_stats": adapted.batch_stats}, query_images,
+                train=False)
+            return adapted, query_images, probs
+
+        self._adapt_task = jax.jit(adapt_task)
+        return self._adapt_task
+
+    def _export_artifacts(self, state, indices, key, lr, drop_rate, aug_rate,
+                          save_checkpoints, save_dir, eval_sample_num):
+        import os
+        from mliis_tpu.utils import checkpoint as ckpt_lib
+        from mliis_tpu.utils import viz
+        kernel = self._adapt_task_kernel(self._model, self._loss_config,
+                                         self._opt_config)
+        drop = jnp.float32(0.0 if drop_rate is None else drop_rate)
+        aug = None if aug_rate is None else jnp.float32(aug_rate)
+        for i in indices:
+            key, sub = jax.random.split(key)
+            adapted, query_images, probs = kernel(
+                state, self._images[i], self._masks[i], self._counts[i], sub,
+                jnp.float32(lr), drop, aug)
+            name = self.store.names[i]
+            if save_checkpoints and save_dir is not None:
+                ckpt_lib.save_fine_tuned_checkpoint(
+                    os.path.join(save_dir, name), adapted,
+                    step=self.config.inner_iters,
+                    eval_sample_num=eval_sample_num)
+            if viz.save_predictions_enabled():
+                preds = (np.asarray(probs) > 0.5).astype(np.float32)
+                viz.save_query_predictions(np.asarray(query_images), preds,
+                                           task_name=name)
 
 
 def evaluate_gecko(evaluator: GeckoEvaluator, state: ModelState, key,
@@ -178,6 +265,8 @@ def evaluate_gecko(evaluator: GeckoEvaluator, state: ModelState, key,
                    num_tasks_to_sample: int = 1,
                    drop_rate: Optional[float] = None,
                    aug_rate: Optional[float] = 0.5,
+                   save_fine_tuned_checkpoints: bool = False,
+                   save_fine_tuned_checkpoints_dir: Optional[str] = None,
                    log_fn=print) -> Tuple[float, Dict[str, List[float]]]:
     """Repeated-sample evaluation driver (eval.py:18-90): accumulates
     per-task IoU lists over `num_samples` runs, reports mean +/- 95% CI."""
@@ -188,7 +277,10 @@ def evaluate_gecko(evaluator: GeckoEvaluator, state: ModelState, key,
         mean_iou, sample_map = evaluator.evaluate(
             state, sub, lr, eval_all_tasks=serially_eval_all_tasks,
             num_tasks_to_sample=num_tasks_to_sample, drop_rate=drop_rate,
-            aug_rate=aug_rate)
+            aug_rate=aug_rate,
+            save_fine_tuned_checkpoints=save_fine_tuned_checkpoints,
+            save_fine_tuned_checkpoints_dir=save_fine_tuned_checkpoints_dir,
+            eval_sample_num=i)
         for name, val in sample_map.items():
             task_iou_map.setdefault(name, []).append(val)
         mean_ious.append(mean_iou)

@@ -192,6 +192,16 @@ def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
     return adapt
 
 
+def make_lr_array(lr, total_steps: int, scheduler: Optional[str] = "fixed",
+                  decay_rate: float = 0.5, decay_after_n_steps: int = 5
+                  ) -> jnp.ndarray:
+    """Per-step inner LRs for a config's scheduler; lr may be traced."""
+    if scheduler in (None, "fixed", "constant"):
+        return jnp.full((total_steps,), lr, jnp.float32)
+    return schedule_lrs(scheduler, lr, total_steps, decay_rate,
+                        decay_after_n_steps)
+
+
 def schedule_lrs(scheduler_name: str, initial_lr: float, total_steps: int,
                  decay_rate: float = 0.5, decay_after_n_steps: int = 5,
                  min_lr: float = 1e-7) -> jnp.ndarray:

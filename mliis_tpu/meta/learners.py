@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from mliis_tpu.meta import episodes
 from mliis_tpu.meta.inner_loop import (LossConfig, ModelState,
-                                       OptimizerConfig, make_adapt_fn)
+                                       OptimizerConfig, make_adapt_fn,
+                                       make_lr_array)
 from mliis_tpu.ops import meta_math
 
 Pytree = Any
@@ -49,6 +50,9 @@ class MetaTrainConfig:
     augment: bool = True
     aug_rate: Optional[float] = None  # None -> Augmenter default gate (6/7)
     weight_decay_rate: float = 1.0
+    lr_scheduler: str = "fixed"
+    lr_decay_rate: float = 0.5
+    lr_decay_after_n_steps: int = 5
 
 
 def _mean_state_over_tasks(states: ModelState) -> Tuple[Pytree, Pytree]:
@@ -79,7 +83,9 @@ def make_reptile_train_step(model, loss_config: LossConfig,
             k_batches, config.num_shots, config.inner_batch_size,
             config.inner_iters, config.replacement)
         keys = jax.random.split(k_steps, config.inner_iters)
-        lrs = jnp.full((config.inner_iters,), lr, jnp.float32)
+        lrs = make_lr_array(lr, config.inner_iters, config.lr_scheduler,
+                            config.lr_decay_rate,
+                            config.lr_decay_after_n_steps)
         adapted, _ = adapt(state, support_images, support_masks, idx_matrix,
                            keys, lrs, aug_rate=aug_rate)
         return adapted
@@ -139,7 +145,9 @@ def make_fomaml_train_step(model, loss_config: LossConfig,
                 k_batches, train_shots, config.inner_batch_size,
                 config.inner_iters - 1, config.replacement)
             keys = jax.random.split(k_steps, config.inner_iters - 1)
-            lrs = jnp.full((config.inner_iters - 1,), lr, jnp.float32)
+            lrs = make_lr_array(lr, config.inner_iters - 1,
+                                config.lr_scheduler, config.lr_decay_rate,
+                                config.lr_decay_after_n_steps)
             pre_tail, _ = adapt(state, train_images, train_masks, idx_matrix,
                                 keys, lrs, aug_rate=aug_rate)
             # Final step: the raw tail batch (un-augmented, size tail_shots).
@@ -152,7 +160,9 @@ def make_fomaml_train_step(model, loss_config: LossConfig,
                 k_batches, config.num_shots, config.inner_batch_size,
                 config.inner_iters, config.replacement)
             keys = jax.random.split(k_steps, config.inner_iters)
-            lrs = jnp.full((config.inner_iters,), lr, jnp.float32)
+            lrs = make_lr_array(lr, config.inner_iters, config.lr_scheduler,
+                            config.lr_decay_rate,
+                            config.lr_decay_after_n_steps)
             pre_tail, _ = adapt(state, support_images, support_masks,
                                 idx_matrix[:-1], keys[:-1], lrs[:-1],
                                 aug_rate=aug_rate)
