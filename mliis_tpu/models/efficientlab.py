@@ -48,15 +48,17 @@ class _ConvNlBn(nn.Module):
     kernel_size: int
     dilation: int = 1
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=True, kernel_init=layers.conv_kernel_init,
-                    name="conv")(x)
+                    dtype=self.dtype, name="conv")(x)
         x = layers.swish(x)
-        return layers.batch_norm(x, train, axis_name=self.bn_axis_name)
+        return layers.batch_norm(x, train, axis_name=self.bn_axis_name,
+                                 dtype=self.dtype)
 
 
 class ResidualSkipDecoder(nn.Module):
@@ -65,6 +67,7 @@ class ResidualSkipDecoder(nn.Module):
     num_output_filters: int
     residual: bool = True
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, embedded, skip, train: bool):
@@ -75,14 +78,17 @@ class ResidualSkipDecoder(nn.Module):
         if upsampled.shape[-1] != self.num_output_filters:
             upsampled = _ConvNlBn(self.num_output_filters, 1,
                                   bn_axis_name=self.bn_axis_name,
+                                  dtype=self.dtype,
                                   name="upsample_proj")(upsampled, train)
         num_decoded_filters = upsampled.shape[-1]
 
         branch_0 = _ConvNlBn(num_decoded_filters, 1,
                              bn_axis_name=self.bn_axis_name,
+                             dtype=self.dtype,
                              name="branch_0")(decoded, train)
         branch_1 = _ConvNlBn(num_decoded_filters, 3, dilation=2,
                              bn_axis_name=self.bn_axis_name,
+                             dtype=self.dtype,
                              name="branch_1")(decoded, train)
         pooled = jnp.mean(decoded, axis=(1, 2), keepdims=True)
         branch_2 = jnp.broadcast_to(pooled, decoded.shape)
@@ -90,6 +96,7 @@ class ResidualSkipDecoder(nn.Module):
         pyramid = jnp.concatenate([branch_0, branch_1, branch_2], axis=-1)
         decoded = _ConvNlBn(self.num_output_filters, 3,
                             bn_axis_name=self.bn_axis_name,
+                            dtype=self.dtype,
                             name="fuse")(pyramid, train)
         if self.residual:
             decoded = decoded + upsampled
@@ -175,6 +182,9 @@ class EfficientLab(nn.Module):
     disable_rsd_residual_connections: bool = False
     final_layer_dropout_rate: Optional[float] = 0.2
     bn_axis_name: Optional[str] = None
+    # Compute dtype for conv/BN work (params and logits stay float32);
+    # jnp.bfloat16 engages the MXU fast path on TPU.
+    compute_dtype: Optional[jnp.dtype] = None
 
     @property
     def n_output_channels(self) -> int:
@@ -190,11 +200,14 @@ class EfficientLab(nn.Module):
 
         x = images - jnp.asarray(MEAN_RGB, images.dtype)
         x = x / jnp.asarray(STDDEV_RGB, images.dtype)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
 
         _, endpoints = EfficientNetFeatures(
             model_name=self.feature_extractor_name,
             max_block_num=max_block_num,
             bn_axis_name=self.bn_axis_name,
+            dtype=self.compute_dtype,
             name=self.feature_extractor_name.replace("-", "_"))(x, train=train)
         skips = [endpoints["reduction_1"], endpoints["reduction_2"],
                  endpoints["reduction_3"], endpoints["reduction_4"]]
@@ -232,6 +245,7 @@ class EfficientLab(nn.Module):
                     num_output_filters=aspp_dim,
                     residual=not self.disable_rsd_residual_connections,
                     bn_axis_name=self.bn_axis_name,
+                    dtype=self.compute_dtype,
                     name="decode_skip_connections_{}".format(reduction_index)
                 )(decoded, skips[reduction_index], train)
 
@@ -246,7 +260,9 @@ class EfficientLab(nn.Module):
 
         decoded = nn.Conv(self.n_output_channels, (1, 1), use_bias=True,
                           kernel_init=layers.conv_kernel_init,
+                          dtype=self.compute_dtype,
                           name="final_layer_weights")(decoded)
+        decoded = decoded.astype(jnp.float32)
         logits = resize_bilinear_align_corners(decoded, in_h, in_w)
         probabilities = jax.nn.softmax(logits, axis=-1)
         return logits, probabilities

@@ -128,6 +128,7 @@ class MBConvBlock(nn.Module):
     """Mobile inverted residual bottleneck with squeeze-and-excitation."""
     args: BlockArgs
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, inputs, train: bool, drop_connect_rate: float = 0.0):
@@ -137,17 +138,19 @@ class MBConvBlock(nn.Module):
         if a.expand_ratio != 1:
             x = nn.Conv(filters, (1, 1), use_bias=False,
                         kernel_init=layers.conv_kernel_init,
-                        name="expand_conv")(x)
+                        dtype=self.dtype, name="expand_conv")(x)
             x = layers.batch_norm(x, train, axis_name=self.bn_axis_name,
-                                  name="batch_normalization")
+                                  name="batch_normalization",
+                                  dtype=self.dtype)
             x = layers.swish(x)
 
         x = nn.Conv(filters, (a.kernel_size, a.kernel_size),
                     strides=a.strides, feature_group_count=filters,
                     use_bias=False, kernel_init=layers.depthwise_kernel_init,
-                    name="depthwise_conv")(x)
+                    dtype=self.dtype, name="depthwise_conv")(x)
         x = layers.batch_norm(x, train, axis_name=self.bn_axis_name,
-                              name="batch_normalization_1")
+                              name="batch_normalization_1",
+                              dtype=self.dtype)
         x = layers.swish(x)
 
         has_se = a.se_ratio is not None and 0 < a.se_ratio <= 1
@@ -156,18 +159,19 @@ class MBConvBlock(nn.Module):
             se = jnp.mean(x, axis=(1, 2), keepdims=True)
             se = nn.Conv(num_reduced, (1, 1), use_bias=True,
                          kernel_init=layers.conv_kernel_init,
-                         name="se_reduce")(se)
+                         dtype=self.dtype, name="se_reduce")(se)
             se = layers.swish(se)
             se = nn.Conv(filters, (1, 1), use_bias=True,
                          kernel_init=layers.conv_kernel_init,
-                         name="se_expand")(se)
+                         dtype=self.dtype, name="se_expand")(se)
             x = jax.nn.sigmoid(se) * x
 
         x = nn.Conv(a.output_filters, (1, 1), use_bias=False,
                     kernel_init=layers.conv_kernel_init,
-                    name="project_conv")(x)
+                    dtype=self.dtype, name="project_conv")(x)
         x = layers.batch_norm(x, train, axis_name=self.bn_axis_name,
-                              name="batch_normalization_2")
+                              name="batch_normalization_2",
+                              dtype=self.dtype)
 
         if (a.id_skip and all(s == 1 for s in a.strides)
                 and a.input_filters == a.output_filters):
@@ -188,6 +192,7 @@ class EfficientNetFeatures(nn.Module):
     max_block_num: Optional[int] = None
     drop_connect_rate: float = 0.2
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -196,9 +201,10 @@ class EfficientNetFeatures(nn.Module):
 
         x = nn.Conv(round_filters(32, width), (3, 3), strides=(2, 2),
                     use_bias=False, kernel_init=layers.conv_kernel_init,
-                    name="stem_conv")(x)
+                    dtype=self.dtype, name="stem_conv")(x)
         x = layers.batch_norm(x, train, axis_name=self.bn_axis_name,
-                              name="stem_batch_normalization")
+                              name="stem_batch_normalization",
+                              dtype=self.dtype)
         x = layers.swish(x)
 
         endpoints = {}
@@ -210,6 +216,7 @@ class EfficientNetFeatures(nn.Module):
                 reduction_idx += 1
             rate = self.drop_connect_rate * idx / divisor if divisor else 0.0
             x = MBConvBlock(args, bn_axis_name=self.bn_axis_name,
+                            dtype=self.dtype,
                             name="blocks_{}".format(idx))(
                 x, train=train, drop_connect_rate=rate)
             if is_reduction:

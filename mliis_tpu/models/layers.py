@@ -59,10 +59,13 @@ class BatchNorm(nn.Module):
 
 
 def batch_norm(x, train, momentum: float = 0.99, epsilon: float = 1e-3,
-               axis_name: Optional[str] = None, name: str = "batch_normalization"):
-    """Inline BN for use inside nn.compact modules."""
+               axis_name: Optional[str] = None,
+               name: str = "batch_normalization", dtype=None):
+    """Inline BN for use inside nn.compact modules. `dtype` is the compute
+    dtype (bf16 for the MXU fast path); params/stats stay float32."""
     return nn.BatchNorm(use_running_average=not train, momentum=momentum,
-                        epsilon=epsilon, axis_name=axis_name, name=name)(x)
+                        epsilon=epsilon, axis_name=axis_name, name=name,
+                        dtype=dtype)(x)
 
 
 def drop_connect(key, x, drop_rate):
