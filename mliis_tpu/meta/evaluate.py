@@ -35,6 +35,21 @@ from mliis_tpu.meta.inner_loop import (LossConfig, ModelState,
                                        make_lr_array)
 from mliis_tpu.ops.metrics import batched_hard_iou, ci95
 
+# Device copies of task stores, shared across evaluators (the train loop,
+# eval-interval evaluators, and UHO would otherwise each upload their own
+# ~2 GB FSS-1000 copy into HBM).
+_DEVICE_STORE_CACHE: Dict[int, Tuple] = {}
+
+
+def device_store_arrays(store: TaskStore) -> Tuple:
+    key = id(store)
+    cached = _DEVICE_STORE_CACHE.get(key)
+    if cached is None:
+        cached = (jnp.asarray(store.images), jnp.asarray(store.masks),
+                  jnp.asarray(store.counts))
+        _DEVICE_STORE_CACHE[key] = cached
+    return cached
+
 
 @dataclasses.dataclass(frozen=True)
 class EvalConfig:
@@ -130,9 +145,7 @@ class GeckoEvaluator:
         self._loss_config = loss_config
         self._opt_config = opt_config
         self._adapt_task = None
-        self._images = jnp.asarray(store.images)
-        self._masks = jnp.asarray(store.masks)
-        self._counts = jnp.asarray(store.counts)
+        self._images, self._masks, self._counts = device_store_arrays(store)
         eval_task = make_eval_task_fn(model, loss_config, opt_config, config,
                                       n_max=store.images.shape[1])
         vmapped = jax.vmap(eval_task,

@@ -35,6 +35,10 @@ class LossConfig:
     l2: bool = True
     l1: bool = False
     darc1: bool = False
+    # Rematerialize the forward pass in the backward (jax.checkpoint):
+    # trades ~30% more FLOPs for a large activation-memory cut, letting more
+    # tasks vmap per chip in the scanned inner loop.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,11 +124,18 @@ def make_loss_and_grad(model, loss_config: LossConfig):
     """(params, batch_stats, images, masks, key, drop_rate) ->
     ((loss, new_batch_stats), grads)."""
 
-    def loss_fn(params, batch_stats, images, masks, key, drop_rate):
-        (logits, probs), mutated = model.apply(
+    def forward(params, batch_stats, images, key, drop_rate):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, train=True, final_layer_dropout_rate=drop_rate,
             rngs={"dropout": key}, mutable=["batch_stats"])
+
+    if loss_config.remat:
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, images, masks, key, drop_rate):
+        (logits, probs), mutated = forward(params, batch_stats, images, key,
+                                           drop_rate)
         loss = losses_lib.segmentation_loss(
             logits, probs, masks, params,
             label_smoothing=loss_config.label_smoothing,

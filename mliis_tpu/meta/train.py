@@ -75,9 +75,8 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
     writers = {split: MetricsWriter(save_dir, split)
                for split in ("train", "test")}
 
-    store_images = jnp.asarray(train_store.images)
-    store_masks = jnp.asarray(train_store.masks)
-    store_counts = jnp.asarray(train_store.counts)
+    from mliis_tpu.meta.evaluate import device_store_arrays
+    store_images, store_masks, store_counts = device_store_arrays(train_store)
 
     best_eval_iou = -np.inf
     best_save_dir = os.path.join(save_dir, "best_eval")

@@ -50,9 +50,8 @@ class EarlyStoppingEvaluator:
         self.weight_decay_rate = weight_decay_rate
         self.patience = patience
         self.task_chunk_size = task_chunk_size
-        self._images = jnp.asarray(store.images)
-        self._masks = jnp.asarray(store.masks)
-        self._counts = jnp.asarray(store.counts)
+        from mliis_tpu.meta.evaluate import device_store_arrays
+        self._images, self._masks, self._counts = device_store_arrays(store)
         self._n_max = store.images.shape[1]
 
     @functools.lru_cache(maxsize=16)
