@@ -1,0 +1,241 @@
+"""Pallas TPU kernel: fused light augmentation for the joint training path.
+
+The joint trainer augments every example with the 4-function Augmenter
+subset [translate, fliplr, additive_gaussian_noise, exposure]
+(joint_train.py:140-148). In the jnp implementation each function is its own
+HBM-roundtripping op cluster; this kernel keeps the image in VMEM across the
+whole composition — one read, one write — with the per-sample PRNG generated
+on-core (pltpu.prng_*).
+
+Composition semantics match Augmenter.apply_augmentations exactly
+(np_augmenters.py:144-156): with probability `prob_original` the sample
+passes through; otherwise a uniformly-random prefix (length 1..4) of a
+uniformly-random permutation of the 4 functions is applied in order. The
+PRNG *stream* differs from the jax.random path (different generator), so
+outputs are distributionally — not bitwise — equivalent.
+
+TPU-native op choices (per the Pallas guide: avoid gathers/dynamic slicing):
+  - horizontal flip and rolls are expressed as matmuls with permutation
+    matrices built from broadcasted_iota comparisons (MXU work, exact);
+  - stripe fills and the translate direction logic are iota masks + selects;
+  - gaussian noise uses Box-Muller over pltpu.prng_random_bits.
+
+Images are processed channel-major [3, H, W]; masks are single-channel
+class-index maps [H, W] (the joint-path label format).
+"""
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_FUNCS = 4  # translate, fliplr, noise, exposure
+
+
+def _uniform(shape):
+    """U[0,1) from on-core PRNG bits via the mantissa-bitcast trick
+    (avoids unsigned->float converts: 23 random mantissa bits under the
+    exponent of 1.0 give [1,2), minus 1)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    mantissa = jax.lax.shift_right_logical(bits, jnp.uint32(9))
+    fbits = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
+    return fbits - 1.0
+
+
+def _uniform_scalar():
+    return _uniform((1, 1))[0, 0]
+
+
+def _randint_scalar(low, high):
+    """Integer in [low, high)."""
+    u = _uniform_scalar()
+    return (low + jnp.floor(u * (high - low))).astype(jnp.int32)
+
+
+def _gaussian(shape):
+    """Box-Muller standard normals."""
+    u1 = jnp.maximum(_uniform(shape), 1e-7)
+    u2 = _uniform(shape)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def _reverse_matrix(n):
+    """[n, n] anti-diagonal permutation (row-reversal when left-applied)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (i + j == n - 1).astype(jnp.float32)
+
+
+def _roll_matrix(n, shift):
+    """P with (X @ P) rolling columns by `shift` (traced)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (jnp.mod(j - shift, n) == i).astype(jnp.float32)
+
+
+def _stripe_mask(h, w, axis, shift):
+    """True on the wrapped-in stripe after rolling `axis` by `shift`.
+    `axis` may be traced: both static-iota masks are built and selected."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    stripe_h = jnp.where(shift >= 0, rows < shift, rows >= h + shift)
+    stripe_w = jnp.where(shift >= 0, cols < shift, cols >= w + shift)
+    return jnp.where(axis == 0, stripe_h, stripe_w)
+
+
+def _augment_kernel(seed_ref, image_ref, mask_ref, out_image_ref,
+                    out_mask_ref, *, height, width, max_shift,
+                    prob_original, noise_mean_sd, exposure_mean_sd):
+    pltpu.prng_seed(seed_ref[0])
+    image = image_ref[:]          # [3, H, W] float32 in [0, 255]
+    mask = mask_ref[:]            # [H, W] float32 class indices
+    orig_image, orig_mask = image, mask
+
+    gate = _uniform_scalar() <= prob_original
+
+    # Uniform permutation of the 4 functions: rank each of 4 random draws.
+    draws = pltpu.prng_random_bits((NUM_FUNCS, 1)).astype(jnp.float32)
+    less = (draws < draws.T).astype(jnp.int32)
+    # tie-break by index so ranks are a permutation even on equal draws
+    eq_lower = ((draws == draws.T)
+                & (jax.lax.broadcasted_iota(jnp.int32, (NUM_FUNCS, NUM_FUNCS),
+                                            0)
+                   > jax.lax.broadcasted_iota(jnp.int32,
+                                              (NUM_FUNCS, NUM_FUNCS), 1)))
+    rank = jnp.sum(less + eq_lower.astype(jnp.int32), axis=1,
+                   keepdims=True)  # [4, 1] (2-D: TPU dislikes 1-D iota/vecs)
+    num_to_apply = _randint_scalar(1, NUM_FUNCS + 1)
+
+    # Pre-draw all per-op randomness (keeps branches side-effect-free).
+    vert = _uniform_scalar() < 0.5
+    direction = _uniform_scalar() < 0.5
+    shift = _randint_scalar(1, max_shift + 1)
+    shift = jnp.where(direction, shift, -shift)
+    do_roll = _uniform_scalar() < 0.5
+    img_fill = _uniform((3, 1)) * 255.0      # per-channel fill, like the ref
+    noise_sd = jnp.abs(noise_mean_sd + _gaussian((1, 1))[0, 0])
+    noise = noise_sd * _gaussian((3, height, width))
+    exp_sd = jnp.abs(exposure_mean_sd + _gaussian((1, 1))[0, 0])
+    exp_shift = exp_sd * _gaussian((1, 1))[0, 0]
+
+    rev_w = _reverse_matrix(width)
+
+    def apply_translate(img, msk):
+        roll_h = _roll_matrix(height, shift).T  # left-apply rolls rows
+        roll_w = _roll_matrix(width, shift)
+        rolled_img_h = jnp.einsum("hk,ckw->chw", roll_h, img,
+                                  preferred_element_type=jnp.float32)
+        rolled_img_w = jnp.einsum("chw,wk->chk", img, roll_w,
+                                  preferred_element_type=jnp.float32)
+        rolled_msk_h = jnp.dot(roll_h, msk,
+                               preferred_element_type=jnp.float32)
+        rolled_msk_w = jnp.dot(msk, roll_w,
+                               preferred_element_type=jnp.float32)
+        axis = jnp.where(vert, 0, 1)
+        rolled_img = jnp.where(vert, rolled_img_h, rolled_img_w)
+        rolled_msk = jnp.where(vert, rolled_msk_h, rolled_msk_w)
+        stripe = _stripe_mask(height, width, axis, shift)
+        filled_img = jnp.where(stripe[None, :, :],
+                               jnp.broadcast_to(img_fill[:, :, None],
+                                                rolled_img.shape),
+                               rolled_img)
+        filled_msk = jnp.where(stripe, 0.0, rolled_msk)
+        img = jnp.where(do_roll, rolled_img, filled_img)
+        msk = jnp.where(do_roll, rolled_msk, filled_msk)
+        return img, msk
+
+    def apply_fliplr(img, msk):
+        img = jnp.einsum("chw,wk->chk", img, rev_w,
+                         preferred_element_type=jnp.float32)
+        msk = jnp.dot(msk, rev_w, preferred_element_type=jnp.float32)
+        return img, msk
+
+    def apply_noise(img, msk):
+        return jnp.clip(img + noise, 0.0, 255.0), msk
+
+    def apply_exposure(img, msk):
+        return jnp.clip(img + exp_shift, 0.0, 255.0), msk
+
+    branches = [apply_translate, apply_fliplr, apply_noise, apply_exposure]
+
+    fn_ids = jax.lax.broadcasted_iota(jnp.int32, (NUM_FUNCS, 1), 0)
+    for stage in range(NUM_FUNCS):
+        # op applied at this stage: the function whose rank equals `stage`.
+        op = jnp.sum(jnp.where(rank == stage, fn_ids, 0))
+        new_image, new_mask = jax.lax.switch(op, branches, image, mask)
+        keep_new = stage < num_to_apply
+        image = jnp.where(keep_new, new_image, image)
+        mask = jnp.where(keep_new, new_mask, mask)
+
+    out_image_ref[:] = jnp.where(gate, orig_image, image)
+    # Matmul-rolled class indices come back as floats; snap to integers.
+    out_mask_ref[:] = jnp.round(jnp.where(gate, orig_mask, mask))
+
+
+def fused_light_augment(seeds: jnp.ndarray, images: jnp.ndarray,
+                        masks: jnp.ndarray, *, prob_original: float = 0.0,
+                        max_shift: int = 23, noise_mean_sd: float = 5.1,
+                        exposure_mean_sd: float = 12.75,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-fused light augmentation.
+
+    Args:
+      seeds: [B] int32 per-sample PRNG seeds.
+      images: [B, H, W, 3] float32 in [0, 255].
+      masks: [B, H, W] float32/int class-index maps.
+    Returns augmented (images, masks) of the same shapes.
+    """
+    b, h, w, _ = images.shape
+    images_cm = jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.float32)
+    masks_f = masks.astype(jnp.float32)
+
+    kernel = functools.partial(
+        _augment_kernel, height=h, width=w, max_shift=max_shift,
+        prob_original=prob_original, noise_mean_sd=noise_mean_sd,
+        exposure_mean_sd=exposure_mean_sd)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, h, w), lambda i, seeds: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, seeds: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, h, w), lambda i, seeds: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, seeds: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def block_kernel(seed_all_ref, image_ref, mask_ref, out_image_ref,
+                     out_mask_ref):
+        i = pl.program_id(0)
+        seed_ref = seed_all_ref.at[pl.ds(i, 1)]
+        _augment_block(seed_ref, image_ref, mask_ref, out_image_ref,
+                       out_mask_ref)
+
+    def _augment_block(seed_ref, image_ref, mask_ref, out_image_ref,
+                       out_mask_ref):
+        kernel(seed_ref,
+               image_ref.at[0], mask_ref.at[0],
+               out_image_ref.at[0], out_mask_ref.at[0])
+
+    out_images_cm, out_masks = pl.pallas_call(
+        block_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(seeds.astype(jnp.int32), images_cm, masks_f)
+
+    out_images = jnp.transpose(out_images_cm, (0, 2, 3, 1))
+    return out_images, out_masks.astype(masks.dtype)
