@@ -180,18 +180,54 @@ def sgd_scan_step(model, loss_config: LossConfig,
 
 
 def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
-                  weight_decay_rate: float = 1.0, augment: bool = True
-                  ) -> Callable:
+                  weight_decay_rate: float = 1.0, augment: bool = True,
+                  precompute_augment: bool = False) -> Callable:
     """Builds adapt(state, support_images_u8, support_masks_u8, idx_matrix,
     keys, lrs, drop_rate, aug_rate) -> (adapted ModelState, per-step losses).
 
     idx_matrix: [steps, batch] indices into the support set;
     keys: [steps] PRNG keys; lrs: [steps] learning rates.
+
+    precompute_augment=True materializes every step's augmented batch
+    (bfloat16 staging) in one vmapped pass before the scan, instead of
+    augmenting inside the scan body. Same per-step batches (same keys) up to
+    the bf16 staging round; trades HBM (steps*batch images) for a much
+    smaller scan body — the escape hatch for compile-cost-sensitive setups.
     """
     step_fn = sgd_scan_step(model, loss_config, opt_config, weight_decay_rate)
+    loss_and_grad = make_loss_and_grad(model, loss_config)
 
     def adapt(state: ModelState, support_images_u8, support_masks_u8,
               idx_matrix, keys, lrs, drop_rate=None, aug_rate=None):
+        if precompute_augment and augment:
+            def make_batch(idx, key):
+                k_aug, k_drop = jax.random.split(key)
+                images, masks = episodes.assemble_batch(
+                    support_images_u8, support_masks_u8, idx, k_aug,
+                    aug_rate=aug_rate, augment=True)
+                return (images.astype(jnp.bfloat16),
+                        masks.astype(jnp.bfloat16), k_drop)
+
+            all_images, all_masks, drop_keys = jax.vmap(make_batch)(
+                idx_matrix, keys)
+
+            def step(carry, xs):
+                images, masks, k_drop, lr = xs
+                params = carry.params
+                if weight_decay_rate != 1.0:
+                    params = meta_math.tree_weight_decay(params,
+                                                         weight_decay_rate)
+                (loss, new_bn), grads = loss_and_grad(
+                    params, carry.batch_stats, images.astype(jnp.float32),
+                    masks.astype(jnp.float32), k_drop, drop_rate)
+                new_params, new_opt = apply_optimizer(params, grads,
+                                                      carry.opt, lr,
+                                                      opt_config)
+                return ModelState(new_params, new_bn, new_opt), loss
+
+            return jax.lax.scan(step, state,
+                                (all_images, all_masks, drop_keys, lrs))
+
         bound = functools.partial(
             step_fn, support_images_u8=support_images_u8,
             support_masks_u8=support_masks_u8, drop_rate=drop_rate,
