@@ -78,11 +78,20 @@ def make_early_stopping_trace_fn(model, loss_config: LossConfig,
                                  replacement: bool = False,
                                  augment: bool = True,
                                  weight_decay_rate: float = 1.0,
-                                 support_size: int, val_size: int):
+                                 support_size: int, val_size: int,
+                                 precompute_augment: bool = True):
     """Build trace(state, support u8, val u8, key, lr, drop_rate, aug_rate)
-    -> [max_steps] val mIoU after each inner step."""
+    -> [max_steps] val mIoU after each inner step.
+
+    With precompute_augment (default), all step batches are augmented in one
+    vmapped bf16 pre-pass so the probe scan's body stays small — see
+    inner_loop.make_adapt_fn for the compile-cost rationale.
+    """
+    from mliis_tpu.meta.inner_loop import make_loss_and_grad, apply_optimizer
+    from mliis_tpu.ops import meta_math
     step_fn = sgd_scan_step(model, loss_config, opt_config,
                             weight_decay_rate=weight_decay_rate)
+    loss_and_grad = make_loss_and_grad(model, loss_config)
 
     def trace_fn(state: ModelState, support_images_u8, support_masks_u8,
                  val_images_u8, val_masks_u8, key, lr, drop_rate, aug_rate):
@@ -94,18 +103,51 @@ def make_early_stopping_trace_fn(model, loss_config: LossConfig,
         val_images = val_images_u8.astype(jnp.float32)
         val_masks = episodes.onehot_mask(val_masks_u8)
 
-        def step_and_probe(carry, xs):
-            new_state, loss = step_fn(
-                carry, xs, support_images_u8=support_images_u8,
-                support_masks_u8=support_masks_u8, drop_rate=drop_rate,
-                aug_rate=aug_rate, augment=augment)
+        def probe(new_state):
             _, probs = model.apply(
                 {"params": new_state.params,
                  "batch_stats": new_state.batch_stats},
                 val_images, train=False)
             preds = (probs > 0.5).astype(jnp.float32)
-            miou = jnp.nanmean(batched_hard_iou(preds, val_masks))
-            return new_state, miou
+            return jnp.nanmean(batched_hard_iou(preds, val_masks))
+
+        if precompute_augment and augment:
+            def make_batch(idx, k):
+                k_aug, k_drop = jax.random.split(k)
+                images, masks = episodes.assemble_batch(
+                    support_images_u8, support_masks_u8, idx, k_aug,
+                    aug_rate=aug_rate, augment=True)
+                return (images.astype(jnp.bfloat16),
+                        masks.astype(jnp.bfloat16), k_drop)
+
+            all_images, all_masks, drop_keys = jax.vmap(make_batch)(
+                idx_matrix, keys)
+
+            def step_and_probe(carry, xs):
+                images, masks, k_drop, step_lr = xs
+                params = carry.params
+                if weight_decay_rate != 1.0:
+                    params = meta_math.tree_weight_decay(params,
+                                                         weight_decay_rate)
+                (_, new_bn), grads = loss_and_grad(
+                    params, carry.batch_stats, images.astype(jnp.float32),
+                    masks.astype(jnp.float32), k_drop, drop_rate)
+                new_params, new_opt = apply_optimizer(params, grads,
+                                                      carry.opt, step_lr,
+                                                      opt_config)
+                new_state = ModelState(new_params, new_bn, new_opt)
+                return new_state, probe(new_state)
+
+            _, miou_trace = jax.lax.scan(
+                step_and_probe, state, (all_images, all_masks, drop_keys, lrs))
+            return miou_trace
+
+        def step_and_probe(carry, xs):
+            new_state, loss = step_fn(
+                carry, xs, support_images_u8=support_images_u8,
+                support_masks_u8=support_masks_u8, drop_rate=drop_rate,
+                aug_rate=aug_rate, augment=augment)
+            return new_state, probe(new_state)
 
         _, miou_trace = jax.lax.scan(step_and_probe, state,
                                      (idx_matrix, keys, lrs))

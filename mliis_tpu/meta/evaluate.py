@@ -60,6 +60,9 @@ class EvalConfig:
     replacement: bool = False
     transductive: bool = False
     augment: bool = True
+    # Augment outside the scan (bf16-staged batches); the robust default for
+    # this platform's remote-compile path — see inner_loop.make_adapt_fn.
+    precompute_augment: bool = True
     lr_scheduler: str = "fixed"
     lr_decay_rate: float = 0.5
     lr_decay_after_n_steps: int = 5
@@ -75,7 +78,8 @@ def make_eval_task_fn(model, loss_config: LossConfig,
     -> per-query-image IoUs [test_shots]. vmap over tasks as needed."""
     adapt = make_adapt_fn(model, loss_config, opt_config,
                           weight_decay_rate=config.weight_decay_rate,
-                          augment=config.augment)
+                          augment=config.augment,
+                          precompute_augment=config.precompute_augment)
     total = config.num_shots + config.test_shots
 
     def eval_task(state: ModelState, task_images_u8, task_masks_u8, count,
@@ -152,13 +156,20 @@ class GeckoEvaluator:
                            in_axes=(None, 0, 0, 0, 0, None, None, None))
         self._eval_chunk = jax.jit(vmapped)
 
+    def _default_drop_rate(self) -> float:
+        """None drop_rate means "model default" — the placeholder-default
+        semantics of final_layer_dropout_rate_ph (efficientlab.py:94-98)."""
+        rate = getattr(self._model, "final_layer_dropout_rate", None)
+        return float(rate) if rate else 0.0
+
     def evaluate_tasks(self, state: ModelState, task_indices: List[int],
                        key, lr: float, drop_rate: Optional[float] = None,
                        aug_rate: Optional[float] = 0.5) -> np.ndarray:
         """Per-task mean IoU for the given task indices. One compiled shape
         (the chunk) reused across launches; the tail chunk is padded."""
         chunk = self.config.task_chunk_size
-        drop_rate = jnp.float32(0.0 if drop_rate is None else drop_rate)
+        drop_rate = jnp.float32(self._default_drop_rate() if drop_rate is None
+                                else drop_rate)
         aug_rate_val = None if aug_rate is None else jnp.float32(aug_rate)
         results = np.zeros((len(task_indices),), np.float64)
         for start in range(0, len(task_indices), chunk):
@@ -214,7 +225,8 @@ class GeckoEvaluator:
         n_max = self.store.images.shape[1]
         adapt = make_adapt_fn(model, loss_config, opt_config,
                               weight_decay_rate=config.weight_decay_rate,
-                              augment=config.augment)
+                              augment=config.augment,
+                              precompute_augment=config.precompute_augment)
         total = config.num_shots + config.test_shots
 
         def adapt_task(state, task_images_u8, task_masks_u8, count, key, lr,
@@ -253,7 +265,8 @@ class GeckoEvaluator:
         from mliis_tpu.utils import viz
         kernel = self._adapt_task_kernel(self._model, self._loss_config,
                                          self._opt_config)
-        drop = jnp.float32(0.0 if drop_rate is None else drop_rate)
+        drop = jnp.float32(self._default_drop_rate() if drop_rate is None
+                           else drop_rate)
         aug = None if aug_rate is None else jnp.float32(aug_rate)
         for i in indices:
             key, sub = jax.random.split(key)

@@ -50,6 +50,7 @@ class MetaTrainConfig:
     augment: bool = True
     aug_rate: Optional[float] = None  # None -> Augmenter default gate (6/7)
     weight_decay_rate: float = 1.0
+    precompute_augment: bool = True
     lr_scheduler: str = "fixed"
     lr_decay_rate: float = 0.5
     lr_decay_after_n_steps: int = 5
@@ -69,7 +70,8 @@ def make_reptile_train_step(model, loss_config: LossConfig,
     """(state, store arrays, key, meta_step_size, lr) -> new ModelState."""
     adapt = make_adapt_fn(model, loss_config, opt_config,
                           weight_decay_rate=config.weight_decay_rate,
-                          augment=config.augment)
+                          augment=config.augment,
+                          precompute_augment=config.precompute_augment)
     # Gecko.train_step does not forward aug_rate -> default gate.
     aug_rate = None
 
@@ -117,7 +119,8 @@ def make_fomaml_train_step(model, loss_config: LossConfig,
     """FOMAML / FOMAML* meta-step (FOMLIS.train_step semantics)."""
     adapt = make_adapt_fn(model, loss_config, opt_config,
                           weight_decay_rate=config.weight_decay_rate,
-                          augment=config.augment)
+                          augment=config.augment,
+                          precompute_augment=config.precompute_augment)
     adapt_raw = make_adapt_fn(model, loss_config, opt_config,
                               weight_decay_rate=config.weight_decay_rate,
                               augment=False)

@@ -98,7 +98,10 @@ class EarlyStoppingEvaluator:
 
         if min_steps != max_steps:
             kernel = self._trace_kernel(max_steps, inner_batch_size)
-            drop = jnp.float32(0.0 if drop_rate is None else drop_rate)
+            if drop_rate is None:  # model-default placeholder semantics
+                default = getattr(self.model, "final_layer_dropout_rate", None)
+                drop_rate = float(default) if default else 0.0
+            drop = jnp.float32(drop_rate)
             aug = None if aug_rate is None else jnp.float32(aug_rate)
             num_steps, ious = [], []
             chunk = self.task_chunk_size

@@ -214,18 +214,19 @@ def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
 
     branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in aug_funcs]
 
-    def _step(carry, step_inputs):
-        img, msk = carry
-        fn_idx, step, k = step_inputs
-        new_img, new_msk = jax.lax.switch(fn_idx, branches, k, img, msk)
+    # The stage loop is UNROLLED (python for, static n) rather than a nested
+    # lax.scan: a scan-inside-scan body makes XLA:TPU compile time scale
+    # with the *outer* trip count / vmap width (measured: +3 s per outer
+    # step), which blows past the remote-compile budget at 59-step inner
+    # loops. Unrolled, the whole augmentation is a flat region.
+    aug_img, aug_msk = image, mask
+    for step in range(n):
+        new_img, new_msk = jax.lax.switch(perm[step], branches,
+                                          fn_keys[step], aug_img, aug_msk)
         keep_new = step < num_to_apply
-        img = jnp.where(keep_new, new_img, img)
-        msk = jnp.where(keep_new, new_msk, msk)
-        return (img, msk), None
+        aug_img = jnp.where(keep_new, new_img, aug_img)
+        aug_msk = jnp.where(keep_new, new_msk, aug_msk)
 
-    steps = jnp.arange(n)
-    (aug_img, aug_msk), _ = jax.lax.scan(_step, (image, mask),
-                                         (perm, steps, fn_keys))
     image = jnp.where(skip, image, aug_img)
     mask = jnp.where(skip, mask, aug_msk)
     return image, mask

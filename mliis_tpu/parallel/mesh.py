@@ -55,7 +55,8 @@ def make_sharded_train_step(model, loss_config: LossConfig,
     local_n = -(-m // num_devices)  # ceil
     adapt = make_adapt_fn(model, loss_config, opt_config,
                           weight_decay_rate=config.weight_decay_rate,
-                          augment=config.augment)
+                          augment=config.augment,
+                          precompute_augment=config.precompute_augment)
     adapt_raw = make_adapt_fn(model, loss_config, opt_config,
                               weight_decay_rate=config.weight_decay_rate,
                               augment=False)
