@@ -38,7 +38,7 @@ def main():
     store = make_synthetic_store(num_tasks=8, examples_per_task=10,
                                  image_size=image_size, seed=0)
     model = EfficientLab(rsd=(2, 4), final_layer_dropout_rate=0.5)
-    loss_cfg = LossConfig(dice=True, l2=True)
+    loss_cfg = LossConfig(dice=True, l2=True, remat=True)
     opt_cfg = OptimizerConfig(name="sgd")
     state = init_model_state(model, jax.random.PRNGKey(0), image_size,
                              opt_cfg)

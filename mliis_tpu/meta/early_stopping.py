@@ -112,16 +112,10 @@ def make_early_stopping_trace_fn(model, loss_config: LossConfig,
             return jnp.nanmean(batched_hard_iou(preds, val_masks))
 
         if precompute_augment and augment:
-            def make_batch(idx, k):
-                k_aug, k_drop = jax.random.split(k)
-                images, masks = episodes.assemble_batch(
-                    support_images_u8, support_masks_u8, idx, k_aug,
-                    aug_rate=aug_rate, augment=True)
-                return (images.astype(jnp.bfloat16),
-                        masks.astype(jnp.bfloat16), k_drop)
-
-            all_images, all_masks, drop_keys = jax.vmap(make_batch)(
-                idx_matrix, keys)
+            from mliis_tpu.meta.inner_loop import precompute_augmented_batches
+            all_images, all_masks, drop_keys = precompute_augmented_batches(
+                support_images_u8, support_masks_u8, idx_matrix, keys,
+                aug_rate)
 
             def step_and_probe(carry, xs):
                 images, masks, k_drop, step_lr = xs

@@ -179,6 +179,30 @@ def sgd_scan_step(model, loss_config: LossConfig,
     return step
 
 
+def precompute_augmented_batches(support_images_u8, support_masks_u8,
+                                 idx_matrix, keys, aug_rate):
+    """Gather+augment every step's batch ahead of the adaptation scan.
+
+    One flat vmapped pass over all steps — deliberately NOT a lax.map/scan:
+    on this platform any scan whose body contains the augmentation pipeline
+    makes XLA:TPU compile cost scale with the trip count (measured; kills
+    the remote-compile budget), while the flat batched augmentation of
+    472 images compiles in ~40 s. Outputs are bf16-staged.
+
+    Returns (images [steps,B,H,W,3] bf16, masks [steps,B,H,W,2] bf16,
+             drop_keys [steps]).
+    """
+    def make_batch(idx, key):
+        k_aug, k_drop = jax.random.split(key)
+        images, masks = episodes.assemble_batch(
+            support_images_u8, support_masks_u8, idx, k_aug,
+            aug_rate=aug_rate, augment=True)
+        return (images.astype(jnp.bfloat16), masks.astype(jnp.bfloat16),
+                k_drop)
+
+    return jax.vmap(make_batch)(idx_matrix, keys)
+
+
 def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
                   weight_decay_rate: float = 1.0, augment: bool = True,
                   precompute_augment: bool = False) -> Callable:
@@ -200,16 +224,9 @@ def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
     def adapt(state: ModelState, support_images_u8, support_masks_u8,
               idx_matrix, keys, lrs, drop_rate=None, aug_rate=None):
         if precompute_augment and augment:
-            def make_batch(idx, key):
-                k_aug, k_drop = jax.random.split(key)
-                images, masks = episodes.assemble_batch(
-                    support_images_u8, support_masks_u8, idx, k_aug,
-                    aug_rate=aug_rate, augment=True)
-                return (images.astype(jnp.bfloat16),
-                        masks.astype(jnp.bfloat16), k_drop)
-
-            all_images, all_masks, drop_keys = jax.vmap(make_batch)(
-                idx_matrix, keys)
+            all_images, all_masks, drop_keys = precompute_augmented_batches(
+                support_images_u8, support_masks_u8, idx_matrix, keys,
+                aug_rate)
 
             def step(carry, xs):
                 images, masks, k_drop, lr = xs

@@ -27,12 +27,10 @@ Semantics match the reference's numpy functions:
     uniformly-random permutation of the function list
     (np_augmenters.py:144-156).
 """
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.ndimage import map_coordinates
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
 
@@ -138,53 +136,116 @@ def _rotation_coords(shape, angle_deg):
     return src_y, src_x
 
 
-def _rotate_channels(img, src_y, src_x, order, mode, cval):
-    chans = [map_coordinates(img[..., c], [src_y, src_x], order=order,
-                             mode=mode, cval=cval)
-             for c in range(img.shape[-1])]
-    return jnp.stack(chans, axis=-1)
+def _fold_coords(c: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.ndarray:
+    """Fold float sampling coordinates into [0, n-1] per border mode
+    (scipy conventions): 0=reflect (edge-duplicating), 1=constant (no fold),
+    2=mirror (edge-sharing), 3=wrap. All arithmetic, no gathers."""
+    reflect = jnp.mod(c, 2.0 * n)
+    reflect = jnp.where(reflect > n - 1, 2.0 * n - 1.0 - reflect, reflect)
+    mirror = jnp.mod(c, 2.0 * n - 2.0)
+    mirror = jnp.where(mirror > n - 1, 2.0 * n - 2.0 - mirror, mirror)
+    wrap = jnp.mod(c, 1.0 * n)
+    folded = jnp.where(mode_idx == 0, reflect,
+                       jnp.where(mode_idx == 2, mirror,
+                                 jnp.where(mode_idx == 3, wrap, c)))
+    return folded
 
 
 def rotate_img_mask(key, image, mask, max_angle: int = 45) -> Pair:
+    """Rotation with a random border mode.
+
+    Implemented as a single fused 4-tap bilinear sampler over the stacked
+    image+mask channels with arithmetic coordinate folding per mode — ONE
+    shared index computation and 4 gathers total. (A naive per-mode
+    map_coordinates construction materializes ~24 full-size index tensors;
+    at the precomputed-augmentation batch widths this alone cost tens of GB
+    of XLA temps and was the eval-path OOM.)
+
+    Image is sampled bilinearly (order-1 stand-in for scipy's order-3), the
+    mask with nearest-neighbor (order 0). Constant mode fills out-of-bounds
+    image pixels with a random constant or per-pixel noise and the mask with
+    background (np_augmenters.py:100-129).
+    """
     ks = jax.random.split(key, 4)
-    angle = jax.random.randint(ks[0], (), -max_angle, max_angle).astype(jnp.float32)
+    angle = jax.random.randint(ks[0], (), -max_angle, max_angle).astype(
+        jnp.float32)
     mode_idx = jax.random.randint(ks[1], (), 0, len(_ROTATE_MODES))
     fill_with_noise = jax.random.bernoulli(ks[2])
     const_cval = jax.random.randint(ks[3], (), 0, 256).astype(jnp.float32)
     noise = jax.random.randint(key, image.shape, 0, 256).astype(jnp.float32)
+    return _apply_rotation(image, mask, angle, mode_idx, fill_with_noise,
+                           const_cval, noise)
 
+
+def _apply_rotation(image, mask, angle, mode_idx, fill_with_noise,
+                    const_cval, noise) -> Pair:
+    """Deterministic rotation core (mode_idx indexes _ROTATE_MODES)."""
+    h, w = image.shape[0], image.shape[1]
+    c_img = image.shape[-1]
     src_y, src_x = _rotation_coords(image.shape, angle)
+    is_constant = mode_idx == 1
+    fy = _fold_coords(src_y, h, mode_idx)
+    fx = _fold_coords(src_x, w, mode_idx)
 
-    def _constant_branch():
-        # map_coordinates requires a static cval; for linear interpolation
-        # map(f, cval=c) == map(f, cval=0) + (1 - validity) * c, where
-        # validity is the rotated all-ones image. The reference either fills
-        # the border with one random constant, or (noise mode) with a -256
-        # sentinel later replaced by per-pixel noise (np_augmenters.py:107-121).
-        img0 = _rotate_channels(image, src_y, src_x, 1, "constant", 0.0)
-        valid = map_coordinates(jnp.ones(image.shape[:2], jnp.float32),
-                                [src_y, src_x], order=1, mode="constant",
-                                cval=0.0)[..., None]
-        cval_eff = jnp.where(fill_with_noise, -256.0, const_cval)
-        img = img0 + (1.0 - valid) * cval_eff
-        fully_out = valid == 0.0
-        img = jnp.where(fully_out & fill_with_noise, noise, img)
-        # Mask uses order-0: out-of-bounds pixels are exactly background.
-        msk0 = _rotate_channels(mask, src_y, src_x, 0, "constant", 0.0)
-        valid0 = map_coordinates(jnp.ones(mask.shape[:2], jnp.float32),
-                                 [src_y, src_x], order=0, mode="constant",
-                                 cval=0.0)[..., None]
-        msk = jnp.where(valid0 == 0.0, _mask_background_fill(mask), msk0)
-        return img, msk
+    y0f = jnp.floor(fy)
+    x0f = jnp.floor(fx)
+    wy = fy - y0f
+    wx = fx - x0f
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
 
-    def _wrap_branch(mode):
-        img = _rotate_channels(image, src_y, src_x, 1, mode, 0.0)
-        msk = _rotate_channels(mask, src_y, src_x, 0, mode, 0.0)
-        return img, msk
+    # Per-tap in-bounds weights (only < 1 in constant mode, where coords are
+    # unfolded): OOB taps contribute cval mass instead.
+    def in_b(yt, xt):
+        ok = (yt >= -1e-6) & (yt <= h - 1 + 1e-6) & \
+             (xt >= -1e-6) & (xt <= w - 1 + 1e-6)
+        return jnp.where(is_constant, ok.astype(jnp.float32), 1.0)
 
-    branches = [functools.partial(_wrap_branch, m) if m != "constant"
-                else _constant_branch for m in _ROTATE_MODES]
-    return jax.lax.switch(mode_idx, branches)
+    taps = [
+        ((1 - wy) * (1 - wx) * in_b(y0f, x0f), y0, x0),
+        ((1 - wy) * wx * in_b(y0f, x0f + 1), y0, x1),
+        (wy * (1 - wx) * in_b(y0f + 1, x0f), y1, x0),
+        (wy * wx * in_b(y0f + 1, x0f + 1), y1, x1),
+    ]
+
+    stacked = jnp.concatenate([image, mask], axis=-1)  # [H, W, C_img+C_msk]
+    flat = stacked.reshape(h * w, -1)
+
+    sampled = 0.0
+    weight_mass = 0.0
+    tap_values = []
+    for tap_w, yt, xt in taps:
+        vals = jnp.take(flat, (yt * w + xt).reshape(-1), axis=0).reshape(
+            h, w, -1)
+        tap_values.append(vals)
+        sampled = sampled + tap_w[..., None] * vals
+        weight_mass = weight_mass + tap_w
+
+    # Image: bilinear blend; in constant mode missing mass blends toward the
+    # fill value (random constant, or a -256 sentinel for noise mode whose
+    # fully-out pixels become per-pixel noise — reference semantics).
+    img_sampled = sampled[..., :c_img]
+    cval_eff = jnp.where(fill_with_noise, -256.0, const_cval)
+    img = img_sampled + (1.0 - weight_mass)[..., None] * cval_eff
+    fully_out = (weight_mass <= 1e-6)[..., None]
+    img = jnp.where(fully_out & fill_with_noise, noise, img)
+    img = jnp.where(is_constant, img, img_sampled)
+
+    # Mask: nearest tap (order 0) — pick the tap with the largest weight.
+    near = (wy >= 0.5).astype(jnp.int32) * 2 + (wx >= 0.5).astype(jnp.int32)
+    msk = tap_values[0][..., c_img:]
+    for t in range(1, 4):
+        msk = jnp.where((near == t)[..., None], tap_values[t][..., c_img:],
+                        msk)
+    # Constant mode: the nearest sample point out of bounds -> background.
+    near_y = jnp.round(src_y)
+    near_x = jnp.round(src_x)
+    oob = ((near_y < 0) | (near_y > h - 1) | (near_x < 0)
+           | (near_x > w - 1))[..., None]
+    msk = jnp.where(is_constant & oob, _mask_background_fill(mask), msk)
+    return img, msk
 
 
 # Order mirrors the reference's cur_aug_funcs list (np_augmenters.py:132).

@@ -106,26 +106,54 @@ def test_translate_preserves_mass_when_rolling(rng):
     assert found_roll
 
 
+def _rotate_fixed(image, mask, angle, mode_idx, rng):
+    noise = jnp.asarray(rng.integers(0, 256, image.shape).astype(np.float32))
+    return augment._apply_rotation(image, mask, jnp.float32(angle),
+                                   jnp.int32(mode_idx),
+                                   jnp.bool_(False), jnp.float32(0.0), noise)
+
+
 def test_rotate_identity_at_zero_angle(rng):
-    """With angle ~ 0 the rotation resamples near-identically."""
+    """With angle 0 the rotation resamples near-identically in every mode."""
     image, mask = _pair(rng)
-    src_y, src_x = augment._rotation_coords(image.shape, jnp.float32(0.0))
-    out = augment._rotate_channels(image, src_y, src_x, 1, "reflect", 0.0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(image), atol=1e-3)
+    for mode_idx in range(4):
+        out_img, out_msk = _rotate_fixed(image, mask, 0.0, mode_idx, rng)
+        np.testing.assert_allclose(np.asarray(out_img), np.asarray(image),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out_msk), np.asarray(mask),
+                                   atol=1e-3)
 
 
 def test_rotate_90_matches_numpy(rng):
     image, mask = _pair(rng)
-    src_y, src_x = augment._rotation_coords(image.shape, jnp.float32(90.0))
-    out = augment._rotate_channels(image, src_y, src_x, 0, "constant", 0.0)
+    out_img, _ = _rotate_fixed(image, mask, 90.0, 1, rng)  # constant mode
     # A 90-degree rotation must equal np.rot90 (up to direction convention).
-    match_cw = np.isclose(np.asarray(out),
+    match_cw = np.isclose(np.asarray(out_img),
                           np.rot90(np.asarray(image), k=1, axes=(1, 0)),
                           atol=1e-2).mean()
-    match_ccw = np.isclose(np.asarray(out),
+    match_ccw = np.isclose(np.asarray(out_img),
                            np.rot90(np.asarray(image), k=1, axes=(0, 1)),
                            atol=1e-2).mean()
     assert max(match_cw, match_ccw) > 0.95
+
+
+def test_rotate_45_constant_mask_background(rng):
+    """45-degree constant-mode rotation: corner regions become background."""
+    image, mask = _pair(rng)
+    out_img, out_msk = _rotate_fixed(image, mask, 45.0, 1, rng)
+    arr = np.asarray(out_msk)
+    # corners of the rotated frame are out of bounds -> background one-hot
+    assert arr[0, 0, 0] == 1.0 and arr[0, 0, 1] == 0.0
+    assert arr[0, -1, 0] == 1.0
+    _check_onehot(out_msk, atol=1e-3)
+    assert np.isfinite(np.asarray(out_img)).all()
+
+
+def test_rotate_wrap_mode_preserves_onehot(rng):
+    image, mask = _pair(rng)
+    for mode_idx in (0, 2, 3):  # reflect, mirror, wrap: in-bounds folds
+        _, out_msk = _rotate_fixed(image, mask, 30.0, mode_idx, rng)
+        _check_onehot(out_msk, atol=1e-3)
 
 
 def test_apply_gate_returns_original(rng):
