@@ -88,7 +88,8 @@ def _augment_joint(key, image, label, num_classes: int):
     axis = jnp.where(vert, 0, 1)
 
     def tshift(arr, fill, ax):
-        rolled = jnp.roll(arr, shift, axis=ax)
+        from mliis_tpu.ops.augment import _roll_dynamic
+        rolled = _roll_dynamic(arr, shift, ax)
         idx = jax.lax.broadcasted_iota(jnp.int32, rolled.shape[:2], ax)
         if arr.ndim == 3:
             idx = idx[..., None]

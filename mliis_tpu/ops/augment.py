@@ -85,10 +85,36 @@ def fliplr(key, image, mask) -> Pair:
     return image[:, ::-1, :], mask[:, ::-1, :]
 
 
+def _roll_dynamic(arr, shift, axis):
+    """Circular roll of [H, W, C] by a traced per-sample shift.
+
+    Under vmap a dynamic-slice/jnp.roll with per-sample starts lowers to a
+    gather, which is pathologically slow on TPU (measured ~5 s for 472
+    images). A roll is a permutation, so it is expressed as a matmul with a
+    permutation matrix built from iota comparisons — pure MXU work
+    (~30 GFLOP for the same batch, sub-millisecond).
+    """
+    n = arr.shape[axis]
+    shift = jnp.mod(shift, n)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    # out[i] = in[i - shift mod n]  ->  P[i, j] = (j == i - shift)
+    compute_dtype = arr.dtype if jnp.issubdtype(arr.dtype, jnp.floating) \
+        else jnp.float32
+    perm = (jnp.mod(i - shift, n) == j).astype(compute_dtype)
+    moved = jnp.moveaxis(arr, axis, 0)
+    flat = moved.reshape(n, -1).astype(compute_dtype)
+    out = jnp.dot(perm, flat, preferred_element_type=compute_dtype)
+    out = jnp.moveaxis(out.reshape(moved.shape), 0, axis)
+    if out.dtype != arr.dtype:
+        out = jnp.round(out).astype(arr.dtype)
+    return out
+
+
 def _shift_along_axis(key, arr, axis, shift, roll, fill):
     """Roll `arr` by `shift` (traced, may be negative) along `axis`; when not
     rolling, overwrite the wrapped-in stripe with `fill`."""
-    rolled = jnp.roll(arr, shift, axis=axis)
+    rolled = _roll_dynamic(arr, shift, axis)
     idx = jax.lax.broadcasted_iota(jnp.int32, rolled.shape[:2], axis)[..., None]
     size = arr.shape[axis]
     # shift > 0: stripe is [0, shift); shift < 0: stripe is [size+shift, size).
@@ -151,6 +177,80 @@ def _fold_coords(c: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.ndarray:
     return folded
 
 
+# Toggle for the gather-free shear rotation (see _apply_rotation_shear).
+FAST_ROTATE = True
+
+
+def _shear(stacked, shifts, axis):
+    """Inverse-sampling circular shear: out[.., p, ..] = in(p - shifts[q])
+    along `axis`, shifts varying along the other axis. Implemented as an
+    FFT phase shift — exact fractional translation per lane, a handful of
+    224-point FFTs (matmul-sized on TPU, ~0.1 ms for a 64-image batch) and
+    no gathers or per-shift copies (a static-roll-sum formulation
+    materialized 350+ full-size temps; a gather formulation ran ~3 ms per
+    image)."""
+    n = stacked.shape[axis]
+    spectrum = jnp.fft.fft(stacked, axis=axis)
+    k = jnp.fft.fftfreq(n) * n
+    shape = [1, 1, 1]
+    shape[axis] = n
+    k = k.reshape(shape)
+    other = 1 - axis
+    sshape = [1, 1, 1]
+    sshape[other] = shifts.shape[0]
+    s = shifts.reshape(sshape)
+    phase = jnp.exp((-2j * jnp.pi / n) * k * s)
+    return jnp.fft.ifft(spectrum * phase, axis=axis).real.astype(
+        stacked.dtype)
+
+
+def _apply_rotation_shear(image, mask, angle, mode_idx, fill_with_noise,
+                          const_cval, noise) -> Pair:
+    """Gather-free rotation: the Paeth 3-shear decomposition
+    R(a) = Sx(-tan(a/2)) Sy(sin a) Sx(-tan(a/2)), each shear a static-roll
+    sum (MXU/VPU work only). Valid for |angle| <= 45 (the reference's
+    range). Border semantics: constant mode is exact (out-of-bounds pixels
+    from the true rotation coords get cval/noise and the mask gets
+    background); the reflect/mirror/wrap modes all present wrap-style
+    borders here (the shears roll circularly) — a documented deviation
+    confined to the out-of-frame border bands of a random augmentation.
+    Masks ride through the bilinear shears and are snapped back to one-hot
+    (vs. the reference's order-0 resampling: boundary pixels may differ)."""
+    h, w = image.shape[0], image.shape[1]
+    c_img = image.shape[-1]
+    theta = -angle * jnp.pi / 180.0  # match _apply_rotation's convention
+    alpha = -jnp.tan(theta / 2.0)
+    beta = jnp.sin(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    rows = (jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0) - cy)[:, 0]
+    cols = (jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0) - cx)[:, 0]
+
+    stacked = jnp.concatenate([image, mask], axis=-1)
+    stacked = _shear(stacked, alpha * rows, axis=1)
+    stacked = _shear(stacked, beta * cols, axis=0)
+    stacked = _shear(stacked, alpha * rows, axis=1)
+
+    img = stacked[..., :c_img]
+    msk = stacked[..., c_img:]
+    # Snap the mask back to one-hot (argmax over channels).
+    fg = (msk[..., 1:] >= msk[..., :1]).astype(msk.dtype) \
+        if msk.shape[-1] == 2 else None
+    if fg is not None:
+        msk = jnp.concatenate([1.0 - fg, fg], axis=-1)
+
+    # Out-of-bounds region from the exact rotation coordinates.
+    src_y, src_x = _rotation_coords(image.shape, angle)
+    oob = ((src_y < -0.5) | (src_y > h - 0.5)
+           | (src_x < -0.5) | (src_x > w - 0.5))[..., None]
+    is_constant = mode_idx == 1
+    cval_img = jnp.where(fill_with_noise, noise,
+                         jnp.broadcast_to(const_cval, image.shape))
+    img = jnp.where(is_constant & oob, cval_img, img)
+    msk = jnp.where(is_constant & oob, _mask_background_fill(mask), msk)
+    return img, msk
+
+
 def rotate_img_mask(key, image, mask, max_angle: int = 45) -> Pair:
     """Rotation with a random border mode.
 
@@ -173,6 +273,9 @@ def rotate_img_mask(key, image, mask, max_angle: int = 45) -> Pair:
     fill_with_noise = jax.random.bernoulli(ks[2])
     const_cval = jax.random.randint(ks[3], (), 0, 256).astype(jnp.float32)
     noise = jax.random.randint(key, image.shape, 0, 256).astype(jnp.float32)
+    if FAST_ROTATE:
+        return _apply_rotation_shear(image, mask, angle, mode_idx,
+                                     fill_with_noise, const_cval, noise)
     return _apply_rotation(image, mask, angle, mode_idx, fill_with_noise,
                            const_cval, noise)
 
