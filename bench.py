@@ -27,7 +27,8 @@ def main():
                                            init_model_state,
                                            make_loss_and_grad,
                                            apply_optimizer)
-    from mliis_tpu.meta.learners import MetaTrainConfig, make_train_step
+    from mliis_tpu.meta.learners import (MetaTrainConfig,
+                                         make_microbatched_train_step)
     from mliis_tpu.models.efficientlab import EfficientLab
 
     meta_batch = 5
@@ -37,7 +38,8 @@ def main():
 
     store = make_synthetic_store(num_tasks=8, examples_per_task=10,
                                  image_size=image_size, seed=0)
-    model = EfficientLab(rsd=(2, 4), final_layer_dropout_rate=0.5)
+    model = EfficientLab(rsd=(2, 4), final_layer_dropout_rate=0.5,
+                         compute_dtype=jnp.bfloat16)
     loss_cfg = LossConfig(dice=True, l2=True, remat=True)
     opt_cfg = OptimizerConfig(name="sgd")
     state = init_model_state(model, jax.random.PRNGKey(0), image_size,
@@ -46,9 +48,12 @@ def main():
     cfg = MetaTrainConfig(num_shots=10, inner_batch_size=inner_batch,
                           inner_iters=inner_iters, meta_batch_size=meta_batch,
                           foml=True, tail_shots=5, aug_rate=0.5)
-    train_step = jax.jit(
-        make_train_step(model, loss_cfg, opt_cfg, cfg, n_max=10),
-        donate_argnums=(0,))
+    # 5 full 224px inner loops exceed one v5e chip's HBM; the meta-batch is
+    # processed in task groups of 2 with host-side linear combination (the
+    # outer update is linear in per-task results) — on a real v5e-8 the 5
+    # tasks shard across chips instead (parallel/mesh.py).
+    train_step = make_microbatched_train_step(model, loss_cfg, opt_cfg, cfg,
+                                              n_max=10, group_size=2)
     imgs = jnp.asarray(store.images)
     msks = jnp.asarray(store.masks)
     cnts = jnp.asarray(store.counts)

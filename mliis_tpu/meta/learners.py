@@ -207,6 +207,64 @@ def make_train_step(model, loss_config: LossConfig,
                                    n_max)
 
 
+def make_microbatched_train_step(model, loss_config: LossConfig,
+                                 opt_config: OptimizerConfig,
+                                 config: MetaTrainConfig, n_max: int,
+                                 group_size: int):
+    """Meta-step with the meta-batch processed in HBM-sized task groups.
+
+    Both Reptile and FOMAML outer updates are linear in the per-task
+    results, so a meta-batch of m tasks can run as ceil(m/g) device
+    launches of <= g vmapped tasks whose group updates are combined on the
+    host with task-count weights — bit-equivalent in expectation to the
+    single-launch step, at a few ms of launch overhead. Used when m tasks'
+    activations exceed one chip's HBM (224px batch-8 inner loops fit ~2-3
+    tasks per 16 GB v5e chip at bf16)."""
+    import numpy as np
+
+    m = config.meta_batch_size
+    sizes = []
+    remaining = m
+    while remaining > 0:
+        take = min(group_size, remaining)
+        sizes.append(take)
+        remaining -= take
+    steps = {}
+    for size in sorted(set(sizes)):
+        group_cfg = dataclasses.replace(config, meta_batch_size=size)
+        steps[size] = jax.jit(
+            make_train_step(model, loss_config, opt_config, group_cfg,
+                            n_max))
+
+    def train_step(state: ModelState, store_images, store_masks, counts, key,
+                   meta_step_size, lr) -> ModelState:
+        group_states = []
+        for g, size in enumerate(sizes):
+            gkey = jax.random.fold_in(key, g)
+            group_states.append(steps[size](
+                state, store_images, store_masks, counts, gkey,
+                meta_step_size, lr))
+        weights = jnp.asarray([s / m for s in sizes], jnp.float32)
+
+        def combine(base, *groups):
+            # theta_new = theta + sum_g w_g * (theta_g - theta)
+            delta = sum(w * (g - base) for w, g in zip(weights, groups))
+            return base + delta
+
+        new_params = jax.tree_util.tree_map(
+            combine, state.params, *[g.params for g in group_states])
+        new_bn = jax.tree_util.tree_map(
+            combine, state.batch_stats,
+            *[g.batch_stats for g in group_states])
+        new_opt_v = jax.tree_util.tree_map(
+            combine, state.opt.v, *[g.opt.v for g in group_states])
+        new_opt = state.opt._replace(v=new_opt_v,
+                                     step=group_states[0].opt.step)
+        return ModelState(new_params, new_bn, new_opt)
+
+    return train_step
+
+
 def meta_step_size_schedule(step: int, meta_iters: int, initial: float,
                             final: float) -> float:
     """Linear anneal (train.py:92)."""
