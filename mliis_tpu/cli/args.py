@@ -108,7 +108,7 @@ def argument_parser():
         help='Use synthetic tasks instead of FSS-1000 shards (for smoke '
              'tests / environments without the dataset).')
     add('--synthetic_tasks', type=int, default=16)
-    add('--task_chunk_size', type=int, default=8,
+    add('--task_chunk_size', type=int, default=2,
         help='Tasks vmapped per device launch during evaluation.')
     add('--mesh_tasks', type=int, default=0,
         help='If > 0, shard eval/meta-batch over this many devices along a '

@@ -68,7 +68,9 @@ class EvalConfig:
     lr_decay_after_n_steps: int = 5
     use_batch_stats_at_predict: bool = False
     weight_decay_rate: float = 1.0
-    task_chunk_size: int = 8  # tasks vmapped per device launch
+    # Tasks vmapped per device launch: 2 full 59-step 224px inner loops fit
+    # a 16 GB v5e chip at bf16; raise for smaller configs.
+    task_chunk_size: int = 2
 
 
 def make_eval_task_fn(model, loss_config: LossConfig,
