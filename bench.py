@@ -19,9 +19,29 @@ import time
 import numpy as np
 
 
+def _wait_for_device(max_wait_s: float = 600.0):
+    """The axon TPU tunnel can take minutes to recover after a crash; probe
+    with a tiny computation before committing to the long compile."""
+    import jax
+    import jax.numpy as jnp
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            x = jnp.ones((8, 128))
+            jax.block_until_ready(x @ x.T)
+            return
+        except Exception as exc:  # noqa: BLE001 - device-recovery probe
+            if time.time() > deadline:
+                raise
+            print("device not ready ({}); retrying".format(
+                type(exc).__name__), file=sys.stderr)
+            time.sleep(60)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    _wait_for_device()
     from mliis_tpu.data.synthetic import make_synthetic_store
     from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
                                            init_model_state,
