@@ -110,6 +110,9 @@ def argument_parser():
     add('--synthetic_tasks', type=int, default=16)
     add('--task_chunk_size', type=int, default=2,
         help='Tasks vmapped per device launch during evaluation.')
+    add('--task_group_size', type=int, default=0,
+        help='Meta-batch task group size per device launch during '
+             'meta-training (0 = whole meta-batch in one launch).')
     add('--mesh_tasks', type=int, default=0,
         help='If > 0, shard eval/meta-batch over this many devices along a '
              '"task" mesh axis.')
@@ -174,7 +177,8 @@ def train_loop_config(args) -> TrainLoopConfig:
         num_eval_shots=args.shots,
         lr=args.learning_rate,
         transductive=args.transductive,
-        aug_rate=args.aug_rate)
+        aug_rate=args.aug_rate,
+        task_group_size=args.task_group_size or None)
 
 
 def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:

@@ -18,7 +18,9 @@ import numpy as np
 from mliis_tpu.data.task_store import TaskStore
 from mliis_tpu.meta.evaluate import EvalConfig, GeckoEvaluator
 from mliis_tpu.meta.inner_loop import LossConfig, ModelState, OptimizerConfig
-from mliis_tpu.meta.learners import (MetaTrainConfig, make_train_step,
+from mliis_tpu.meta.learners import (MetaTrainConfig,
+                                     make_microbatched_train_step,
+                                     make_train_step,
                                      meta_step_size_schedule)
 from mliis_tpu.utils import checkpoint as ckpt_lib
 from mliis_tpu.utils.logging import MetricsWriter, log_estimated_time_remaining
@@ -41,6 +43,10 @@ class TrainLoopConfig:
     lr: float = 5e-4
     transductive: bool = False
     aug_rate: Optional[float] = None
+    # When set, process the meta-batch in task groups of this size per
+    # device launch (host linear combine) — needed when the full meta-batch
+    # exceeds one chip's HBM (2 fits a 16 GB v5e at 224px bf16).
+    task_group_size: Optional[int] = None
 
 
 def train_gecko(model, state: ModelState, train_store: TaskStore,
@@ -53,10 +59,16 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
     os.makedirs(save_dir, exist_ok=True)
     cfg = loop_config
 
-    train_step = jax.jit(
-        make_train_step(model, loss_config, opt_config, meta_config,
-                        n_max=train_store.images.shape[1]),
-        donate_argnums=(0,))
+    if cfg.task_group_size:
+        train_step = make_microbatched_train_step(
+            model, loss_config, opt_config, meta_config,
+            n_max=train_store.images.shape[1],
+            group_size=cfg.task_group_size)
+    else:
+        train_step = jax.jit(
+            make_train_step(model, loss_config, opt_config, meta_config,
+                            n_max=train_store.images.shape[1]),
+            donate_argnums=(0,))
 
     eval_cfg = EvalConfig(
         num_shots=cfg.num_eval_shots,
