@@ -35,19 +35,20 @@ from mliis_tpu.meta.inner_loop import (LossConfig, ModelState,
                                        make_lr_array)
 from mliis_tpu.ops.metrics import batched_hard_iou, ci95
 
-# Device copies of task stores, shared across evaluators (the train loop,
-# eval-interval evaluators, and UHO would otherwise each upload their own
-# ~2 GB FSS-1000 copy into HBM).
-_DEVICE_STORE_CACHE: Dict[int, Tuple] = {}
-
-
 def device_store_arrays(store: TaskStore) -> Tuple:
-    key = id(store)
-    cached = _DEVICE_STORE_CACHE.get(key)
+    """Device copies of a task store, cached on the store instance itself.
+
+    Sharing matters (the train loop, eval-interval evaluators, and UHO would
+    otherwise each upload their own ~2 GB FSS-1000 copy into HBM); caching on
+    the instance ties the HBM copy's lifetime to the store and cannot alias
+    across stores the way an id()-keyed cache can when ids are recycled
+    (e.g. kshot.py's throwaway per-task subset stores).
+    """
+    cached = getattr(store, "_device_arrays", None)
     if cached is None:
         cached = (jnp.asarray(store.images), jnp.asarray(store.masks),
                   jnp.asarray(store.counts))
-        _DEVICE_STORE_CACHE[key] = cached
+        store._device_arrays = cached
     return cached
 
 

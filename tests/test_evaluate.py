@@ -93,3 +93,25 @@ def test_evaluate_gecko_multi_sample_driver(setup):
     assert all(len(v) == 2 for v in task_map.values())
     assert any("95% CI" in line for line in logs)
     assert 0.0 <= miou <= 1.0
+
+
+def test_device_store_cache_no_id_aliasing():
+    """Regression: the device-array cache must never serve one store's
+    arrays for another. The old id()-keyed module cache aliased when ids
+    were recycled across GC'd throwaway stores (kshot.py's per-task subset
+    loop); per-instance caching makes aliasing structurally impossible."""
+    import gc
+    from mliis_tpu.meta.evaluate import device_store_arrays
+    base = make_synthetic_store(num_tasks=6, examples_per_task=4,
+                                image_size=8, seed=3)
+    for i in range(base.num_tasks):
+        sub = base.subset([i])
+        imgs, msks, cnts = device_store_arrays(sub)
+        np.testing.assert_array_equal(np.asarray(imgs), sub.images)
+        np.testing.assert_array_equal(np.asarray(msks), sub.masks)
+        np.testing.assert_array_equal(np.asarray(cnts), sub.counts)
+        # Cache hit returns the identical arrays (no re-upload).
+        again = device_store_arrays(sub)
+        assert again[0] is imgs
+        del sub, imgs, msks, cnts, again
+        gc.collect()  # force id reuse pressure between iterations
