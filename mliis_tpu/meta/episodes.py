@@ -35,6 +35,25 @@ def sample_task_ids(key, num_tasks: int, meta_batch_size: int) -> jnp.ndarray:
     return jax.random.randint(key, (meta_batch_size,), 0, num_tasks)
 
 
+def slot_keys(key, num_slots: int, offset=0) -> jnp.ndarray:
+    """Per-meta-batch-slot PRNG keys derived by global slot index.
+
+    Keying by slot (not by array position) makes the random stream identical
+    whether the meta-batch runs in one launch, in microbatched groups, or
+    sharded over a mesh task axis where device d owns slots
+    [d*local_n, (d+1)*local_n) — the basis of the sharded-vs-unsharded
+    parity guarantee (and test)."""
+    slots = offset + jnp.arange(num_slots)
+    return jax.vmap(lambda s: jax.random.fold_in(key, s))(slots)
+
+
+def slot_task_ids(key, num_tasks: int, num_slots: int, offset=0
+                  ) -> jnp.ndarray:
+    """Uniform-with-replacement task draw per slot, keyed by slot index."""
+    keys = slot_keys(key, num_slots, offset)
+    return jax.vmap(lambda k: jax.random.randint(k, (), 0, num_tasks))(keys)
+
+
 def sample_shot_indices(key, count: jnp.ndarray, num_shots: int,
                         n_max: int) -> jnp.ndarray:
     """Draw `num_shots` distinct example indices among the `count` valid slots

@@ -64,63 +64,47 @@ def _mean_state_over_tasks(states: ModelState) -> Tuple[Pytree, Pytree]:
     return batch_stats, states.opt._replace(v=opt_v, step=opt_step)
 
 
-def make_reptile_train_step(model, loss_config: LossConfig,
-                            opt_config: OptimizerConfig,
-                            config: MetaTrainConfig, n_max: int):
-    """(state, store arrays, key, meta_step_size, lr) -> new ModelState."""
+def make_per_task_fn(model, loss_config: LossConfig,
+                     opt_config: OptimizerConfig, config: MetaTrainConfig,
+                     n_max: int):
+    """The single-task half of a meta-step, shared by the single-device,
+    microbatched, and mesh-sharded train steps (parallel/mesh.py), so every
+    execution strategy has bit-identical per-task semantics.
+
+    Returns per_task(state, task_images_u8, task_masks_u8, count, key, lr)
+    -> (update, final ModelState), where `update` is the FOMAML last-step
+    displacement (reptile.py:605-647) or, for Reptile, the adapted params
+    themselves (the outer step interpolates toward their mean,
+    reptile.py:64-125).
+    """
     adapt = make_adapt_fn(model, loss_config, opt_config,
                           weight_decay_rate=config.weight_decay_rate,
                           augment=config.augment,
                           precompute_augment=config.precompute_augment)
-    # Gecko.train_step does not forward aug_rate -> default gate.
-    aug_rate = None
 
-    def per_task(state, task_images_u8, task_masks_u8, count, key, lr):
-        k_shots, k_batches, k_steps = jax.random.split(key, 3)
-        shot_idx = episodes.sample_shot_indices(k_shots, count,
-                                                config.num_shots, n_max)
-        support_images = task_images_u8[shot_idx]
-        support_masks = task_masks_u8[shot_idx]
-        idx_matrix = episodes.batch_indices(
-            k_batches, config.num_shots, config.inner_batch_size,
-            config.inner_iters, config.replacement)
-        keys = jax.random.split(k_steps, config.inner_iters)
-        lrs = make_lr_array(lr, config.inner_iters, config.lr_scheduler,
-                            config.lr_decay_rate,
-                            config.lr_decay_after_n_steps)
-        adapted, _ = adapt(state, support_images, support_masks, idx_matrix,
-                           keys, lrs, aug_rate=aug_rate)
-        return adapted
+    if not config.foml:
+        # Gecko.train_step does not forward aug_rate -> default gate.
+        aug_rate = None
 
-    def train_step(state: ModelState, store_images, store_masks, counts, key,
-                   meta_step_size, lr) -> ModelState:
-        k_tasks, k_inner = jax.random.split(key)
-        num_tasks = store_images.shape[0]
-        task_ids = episodes.sample_task_ids(k_tasks, num_tasks,
-                                            config.meta_batch_size)
-        task_keys = jax.random.split(k_inner, config.meta_batch_size)
-        adapted = jax.vmap(
-            per_task, in_axes=(None, 0, 0, 0, 0, None)
-        )(state, store_images[task_ids], store_masks[task_ids],
-          counts[task_ids], task_keys, lr)
+        def per_task(state, task_images_u8, task_masks_u8, count, key, lr):
+            k_shots, k_batches, k_steps = jax.random.split(key, 3)
+            shot_idx = episodes.sample_shot_indices(k_shots, count,
+                                                    config.num_shots, n_max)
+            support_images = task_images_u8[shot_idx]
+            support_masks = task_masks_u8[shot_idx]
+            idx_matrix = episodes.batch_indices(
+                k_batches, config.num_shots, config.inner_batch_size,
+                config.inner_iters, config.replacement)
+            keys = jax.random.split(k_steps, config.inner_iters)
+            lrs = make_lr_array(lr, config.inner_iters, config.lr_scheduler,
+                                config.lr_decay_rate,
+                                config.lr_decay_after_n_steps)
+            adapted, _ = adapt(state, support_images, support_masks,
+                               idx_matrix, keys, lrs, aug_rate=aug_rate)
+            return adapted.params, adapted
 
-        new_params = meta_math.tree_interpolate(
-            state.params, meta_math.tree_mean_over_axis(adapted.params),
-            meta_step_size)
-        new_bn, new_opt = _mean_state_over_tasks(adapted)
-        return ModelState(new_params, new_bn, new_opt)
+        return per_task
 
-    return train_step
-
-
-def make_fomaml_train_step(model, loss_config: LossConfig,
-                           opt_config: OptimizerConfig,
-                           config: MetaTrainConfig, n_max: int):
-    """FOMAML / FOMAML* meta-step (FOMLIS.train_step semantics)."""
-    adapt = make_adapt_fn(model, loss_config, opt_config,
-                          weight_decay_rate=config.weight_decay_rate,
-                          augment=config.augment,
-                          precompute_augment=config.precompute_augment)
     adapt_raw = make_adapt_fn(model, loss_config, opt_config,
                               weight_decay_rate=config.weight_decay_rate,
                               augment=False)
@@ -164,8 +148,8 @@ def make_fomaml_train_step(model, loss_config: LossConfig,
                 config.inner_iters, config.replacement)
             keys = jax.random.split(k_steps, config.inner_iters)
             lrs = make_lr_array(lr, config.inner_iters, config.lr_scheduler,
-                            config.lr_decay_rate,
-                            config.lr_decay_after_n_steps)
+                                config.lr_decay_rate,
+                                config.lr_decay_after_n_steps)
             pre_tail, _ = adapt(state, support_images, support_masks,
                                 idx_matrix[:-1], keys[:-1], lrs[:-1],
                                 aug_rate=aug_rate)
@@ -176,35 +160,103 @@ def make_fomaml_train_step(model, loss_config: LossConfig,
         update = meta_math.tree_sub(final.params, pre_tail.params)
         return update, final
 
+    return per_task
+
+
+def apply_outer_update(state: ModelState, mean_update: Pytree,
+                       meta_step_size, foml: bool) -> Pytree:
+    """theta <- theta + eps*mean(displacements) (FOMAML, reptile.py:644-647)
+    or theta <- theta + eps*(mean(adapted) - theta) (Reptile,
+    reptile.py:124-125)."""
+    if foml:
+        return meta_math.tree_add(
+            state.params, meta_math.tree_scale(mean_update, meta_step_size))
+    return meta_math.tree_interpolate(state.params, mean_update,
+                                      meta_step_size)
+
+
+def make_train_step(model, loss_config: LossConfig,
+                    opt_config: OptimizerConfig, config: MetaTrainConfig,
+                    n_max: int):
+    """(state, store arrays, key, meta_step_size, lr) -> new ModelState.
+
+    Reptile (Gecko.train_step) or FOMAML/FOMAML* (FOMLIS.train_step)
+    according to config.foml, with the meta-batch vmapped."""
+    per_task = make_per_task_fn(model, loss_config, opt_config, config, n_max)
+
     def train_step(state: ModelState, store_images, store_masks, counts, key,
                    meta_step_size, lr) -> ModelState:
         k_tasks, k_inner = jax.random.split(key)
         num_tasks = store_images.shape[0]
-        task_ids = episodes.sample_task_ids(k_tasks, num_tasks,
-                                            config.meta_batch_size)
-        task_keys = jax.random.split(k_inner, config.meta_batch_size)
+        # Slot-indexed streams: identical draws when the same meta-batch runs
+        # sharded over a mesh task axis (parallel/mesh.py slices these slots
+        # per device), which is what makes sharded-vs-unsharded parity exact.
+        task_ids = episodes.slot_task_ids(k_tasks, num_tasks,
+                                          config.meta_batch_size)
+        task_keys = episodes.slot_keys(k_inner, config.meta_batch_size)
         updates, finals = jax.vmap(
             per_task, in_axes=(None, 0, 0, 0, 0, None)
         )(state, store_images[task_ids], store_masks[task_ids],
           counts[task_ids], task_keys, lr)
 
         mean_update = meta_math.tree_mean_over_axis(updates)
-        new_params = meta_math.tree_add(
-            state.params, meta_math.tree_scale(mean_update, meta_step_size))
+        new_params = apply_outer_update(state, mean_update, meta_step_size,
+                                        config.foml)
         new_bn, new_opt = _mean_state_over_tasks(finals)
         return ModelState(new_params, new_bn, new_opt)
 
     return train_step
 
 
-def make_train_step(model, loss_config: LossConfig,
-                    opt_config: OptimizerConfig, config: MetaTrainConfig,
-                    n_max: int):
-    if config.foml:
-        return make_fomaml_train_step(model, loss_config, opt_config, config,
-                                      n_max)
-    return make_reptile_train_step(model, loss_config, opt_config, config,
-                                   n_max)
+def make_reptile_train_step(model, loss_config, opt_config, config, n_max):
+    assert not config.foml
+    return make_train_step(model, loss_config, opt_config, config, n_max)
+
+
+def make_fomaml_train_step(model, loss_config, opt_config, config, n_max):
+    assert config.foml
+    return make_train_step(model, loss_config, opt_config, config, n_max)
+
+
+def make_group_train_step(model, loss_config: LossConfig,
+                          opt_config: OptimizerConfig,
+                          config: MetaTrainConfig, n_max: int,
+                          group_size: int):
+    """A meta-step over `group_size` vmapped task slots of which only the
+    first `num_real` (a traced scalar) carry weight — the building block of
+    the microbatched step. One compiled shape serves every group, including
+    a ragged tail (padded slots still run but contribute zero weight)."""
+    group_cfg = dataclasses.replace(config, meta_batch_size=group_size)
+    per_task = make_per_task_fn(model, loss_config, opt_config, group_cfg,
+                                n_max)
+
+    def group_step(state: ModelState, store_images, store_masks, counts, key,
+                   meta_step_size, lr, num_real) -> ModelState:
+        k_tasks, k_inner = jax.random.split(key)
+        num_tasks = store_images.shape[0]
+        task_ids = episodes.slot_task_ids(k_tasks, num_tasks, group_size)
+        task_keys = episodes.slot_keys(k_inner, group_size)
+        updates, finals = jax.vmap(
+            per_task, in_axes=(None, 0, 0, 0, 0, None)
+        )(state, store_images[task_ids], store_masks[task_ids],
+          counts[task_ids], task_keys, lr)
+
+        w = (jnp.arange(group_size) < num_real).astype(jnp.float32)
+
+        def wmean(tree):
+            def f(x):
+                wx = w.reshape(w.shape + (1,) * (x.ndim - 1))
+                return jnp.sum(x * wx, axis=0) / num_real
+            return jax.tree_util.tree_map(f, tree)
+
+        new_params = apply_outer_update(state, wmean(updates), meta_step_size,
+                                        config.foml)
+        new_bn = wmean(finals.batch_stats)
+        new_opt = state.opt._replace(v=wmean(finals.opt.v),
+                                     step=finals.opt.step[0])
+        return ModelState(new_params, new_bn, new_opt)
+
+    return group_step
 
 
 def make_microbatched_train_step(model, loss_config: LossConfig,
@@ -219,9 +271,12 @@ def make_microbatched_train_step(model, loss_config: LossConfig,
     host with task-count weights — bit-equivalent in expectation to the
     single-launch step, at a few ms of launch overhead. Used when m tasks'
     activations exceed one chip's HBM (224px batch-8 inner loops fit ~2-3
-    tasks per 16 GB v5e chip at bf16)."""
-    import numpy as np
+    tasks per 16 GB v5e chip at bf16).
 
+    All groups, including a ragged tail, share ONE compiled program of
+    `group_size` slots with a traced real-task count: on the axon remote
+    (~45-70 s per XLA program) the 5 = 2+2+1 run.sh meta-batch costs one
+    compile instead of two."""
     m = config.meta_batch_size
     sizes = []
     remaining = m
@@ -229,21 +284,18 @@ def make_microbatched_train_step(model, loss_config: LossConfig,
         take = min(group_size, remaining)
         sizes.append(take)
         remaining -= take
-    steps = {}
-    for size in sorted(set(sizes)):
-        group_cfg = dataclasses.replace(config, meta_batch_size=size)
-        steps[size] = jax.jit(
-            make_train_step(model, loss_config, opt_config, group_cfg,
-                            n_max))
+    group_step = jax.jit(
+        make_group_train_step(model, loss_config, opt_config, config, n_max,
+                              group_size=min(group_size, m)))
 
     def train_step(state: ModelState, store_images, store_masks, counts, key,
                    meta_step_size, lr) -> ModelState:
         group_states = []
         for g, size in enumerate(sizes):
             gkey = jax.random.fold_in(key, g)
-            group_states.append(steps[size](
+            group_states.append(group_step(
                 state, store_images, store_masks, counts, gkey,
-                meta_step_size, lr))
+                meta_step_size, lr, jnp.float32(size)))
         weights = jnp.asarray([s / m for s in sizes], jnp.float32)
 
         def combine(base, *groups):

@@ -10,7 +10,10 @@ from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
                                        apply_optimizer, init_model_state,
                                        init_opt_state, make_adapt_fn,
                                        schedule_lrs)
-from mliis_tpu.meta.learners import (MetaTrainConfig, make_train_step,
+from mliis_tpu.meta.learners import (MetaTrainConfig, apply_outer_update,
+                                     make_group_train_step,
+                                     make_microbatched_train_step,
+                                     make_per_task_fn, make_train_step,
                                      meta_step_size_schedule)
 from mliis_tpu.meta import episodes
 from mliis_tpu.ops import meta_math
@@ -171,6 +174,85 @@ def test_fomaml_single_step_equals_sgd_displacement(setup):
     moved = meta_math.tree_dot(meta_math.tree_sub(out.params, state.params),
                                meta_math.tree_sub(out.params, state.params))
     assert float(moved) > 0
+
+
+def test_group_step_unpadded_equals_train_step(setup):
+    """A full group (num_real == group_size) is bit-identical to the plain
+    train step with meta_batch_size == group_size: same task sampling, same
+    per-task adaptation, and the weighted mean degenerates to the mean."""
+    store, model, opt_cfg, state = setup
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3, inner_iters=2,
+                          meta_batch_size=2, foml=False, augment=False)
+    plain = jax.jit(make_train_step(model, LossConfig(l2=False), opt_cfg,
+                                    cfg, n_max=10))
+    group = jax.jit(make_group_train_step(model, LossConfig(l2=False),
+                                          opt_cfg, cfg, n_max=10,
+                                          group_size=2))
+    args = (jnp.asarray(store.images), jnp.asarray(store.masks),
+            jnp.asarray(store.counts), jax.random.PRNGKey(3),
+            jnp.float32(0.3), jnp.float32(0.01))
+    a = plain(state, *args)
+    b = group(state, *args, jnp.float32(2.0))
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_group_step_padded_slot_carries_zero_weight(setup):
+    """With num_real=1 of group_size=2, the result must equal the outer
+    update computed from slot 0's per-task update alone (white-box replay of
+    the group step's sampling)."""
+    store, model, opt_cfg, state = setup
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3, inner_iters=2,
+                          meta_batch_size=2, foml=False, augment=False)
+    group = jax.jit(make_group_train_step(model, LossConfig(l2=False),
+                                          opt_cfg, cfg, n_max=10,
+                                          group_size=2))
+    key = jax.random.PRNGKey(9)
+    eps, lr = jnp.float32(0.4), jnp.float32(0.01)
+    out = group(state, jnp.asarray(store.images), jnp.asarray(store.masks),
+                jnp.asarray(store.counts), key, eps, lr, jnp.float32(1.0))
+
+    # Replay slot 0 by hand.
+    k_tasks, k_inner = jax.random.split(key)
+    task_ids = episodes.slot_task_ids(k_tasks, store.num_tasks, 2)
+    task_keys = episodes.slot_keys(k_inner, 2)
+    per_task = make_per_task_fn(model, LossConfig(l2=False), opt_cfg, cfg,
+                                n_max=10)
+    imgs = jnp.asarray(store.images)[task_ids[0]]
+    msks = jnp.asarray(store.masks)[task_ids[0]]
+    cnt = jnp.asarray(store.counts)[task_ids[0]]
+    update0, _ = jax.jit(per_task)(state, imgs, msks, cnt, task_keys[0], lr)
+    expected = apply_outer_update(state, update0, eps, cfg.foml)
+    for x, y in zip(jax.tree_util.tree_leaves(out.params),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_microbatched_ragged_tail(setup):
+    """meta_batch=3 in groups of 2 (2+1, padded tail): identity at zero meta
+    step, deterministic, finite — and FOMAML* variant runs too."""
+    store, model, opt_cfg, state = setup
+    for foml, tail in ((False, None), (True, 3)):
+        cfg = MetaTrainConfig(num_shots=8, inner_batch_size=3, inner_iters=2,
+                              meta_batch_size=3, foml=foml, tail_shots=tail,
+                              augment=False)
+        step = make_microbatched_train_step(model, LossConfig(l2=False),
+                                            opt_cfg, cfg, n_max=10,
+                                            group_size=2)
+        args = (jnp.asarray(store.images), jnp.asarray(store.masks),
+                jnp.asarray(store.counts), jax.random.PRNGKey(11))
+        frozen = step(state, *args, jnp.float32(0.0), jnp.float32(0.01))
+        for a, b in zip(jax.tree_util.tree_leaves(frozen.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+        x = step(state, *args, jnp.float32(0.2), jnp.float32(0.01))
+        y = step(state, *args, jnp.float32(0.2), jnp.float32(0.01))
+        for a, b in zip(jax.tree_util.tree_leaves(x.params),
+                        jax.tree_util.tree_leaves(y.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert np.isfinite(np.asarray(a)).all()
 
 
 def test_meta_step_size_schedule():
