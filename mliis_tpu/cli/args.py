@@ -178,7 +178,8 @@ def train_loop_config(args) -> TrainLoopConfig:
         lr=args.learning_rate,
         transductive=args.transductive,
         aug_rate=args.aug_rate,
-        task_group_size=args.task_group_size or None)
+        task_group_size=args.task_group_size or None,
+        mesh_tasks=args.mesh_tasks)
 
 
 def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:

@@ -191,11 +191,16 @@ def main(argv=None):
     eval_cfg = args_lib.eval_config(args, inner_iters=eval_inner_iters)
     drop_rate = args.final_layer_dropout_rate or None
 
+    mesh = None
+    if args.mesh_tasks:
+        from mliis_tpu.parallel.mesh import make_task_mesh
+        mesh = make_task_mesh(args.mesh_tasks)
+
     print('Evaluating {}-shot learning on training tasks.'.format(args.shots))
     mean_train_iou = float("nan")
     if train_store is not None:
         train_evaluator = GeckoEvaluator(model, loss_cfg, opt_cfg, eval_cfg,
-                                         train_store)
+                                         train_store, mesh=mesh)
         key, tr_key = jax.random.split(key)
         mean_train_iou, _ = evaluate_gecko(
             train_evaluator, state, tr_key, lr=lr,
@@ -212,7 +217,7 @@ def main(argv=None):
     print('Evaluating {}-shot learning on meta-{} tasks.'.format(
         args.shots, test_set_string))
     evaluator = GeckoEvaluator(model, loss_cfg, opt_cfg, eval_cfg,
-                               target_store)
+                               target_store, mesh=mesh)
     key, te_key = jax.random.split(key)
     mean_test_iou, task_name_iou_map = evaluate_gecko(
         evaluator, state, te_key, lr=lr, num_samples=args.eval_samples,

@@ -141,11 +141,23 @@ def make_eval_task_fn(model, loss_config: LossConfig,
 
 
 class GeckoEvaluator:
-    """Chunked, vmapped task evaluation over a TaskStore."""
+    """Chunked, vmapped task evaluation over a TaskStore.
+
+    With a mesh, each chunk's task dimension shards over the mesh "task"
+    axis (parallel/mesh.make_sharded_eval_chunk): a 240-task sweep on 8
+    chips becomes 30 sequential per-chip task launches."""
 
     def __init__(self, model, loss_config: LossConfig,
                  opt_config: OptimizerConfig, config: EvalConfig,
                  store: TaskStore, mesh=None):
+        if mesh is not None:
+            # Chunks must tile the mesh exactly; round up so every device
+            # gets the same per-launch task count.
+            from mliis_tpu.parallel.mesh import TASK_AXIS
+            n_dev = mesh.shape[TASK_AXIS]
+            chunk = -(-config.task_chunk_size // n_dev) * n_dev
+            if chunk != config.task_chunk_size:
+                config = dataclasses.replace(config, task_chunk_size=chunk)
         self.config = config
         self.store = store
         self._model = model
@@ -153,11 +165,18 @@ class GeckoEvaluator:
         self._opt_config = opt_config
         self._adapt_task = None
         self._images, self._masks, self._counts = device_store_arrays(store)
-        eval_task = make_eval_task_fn(model, loss_config, opt_config, config,
-                                      n_max=store.images.shape[1])
-        vmapped = jax.vmap(eval_task,
-                           in_axes=(None, 0, 0, 0, 0, None, None, None))
-        self._eval_chunk = jax.jit(vmapped)
+        if mesh is not None:
+            from mliis_tpu.parallel.mesh import make_sharded_eval_chunk
+            self._eval_chunk = make_sharded_eval_chunk(
+                model, loss_config, opt_config, config,
+                n_max=store.images.shape[1], mesh=mesh)
+        else:
+            eval_task = make_eval_task_fn(model, loss_config, opt_config,
+                                          config,
+                                          n_max=store.images.shape[1])
+            vmapped = jax.vmap(eval_task,
+                               in_axes=(None, 0, 0, 0, 0, None, None, None))
+            self._eval_chunk = jax.jit(vmapped)
 
     def _default_drop_rate(self) -> float:
         """None drop_rate means "model default" — the placeholder-default

@@ -47,6 +47,11 @@ class TrainLoopConfig:
     # device launch (host linear combine) — needed when the full meta-batch
     # exceeds one chip's HBM (2 fits a 16 GB v5e at 224px bf16).
     task_group_size: Optional[int] = None
+    # When > 0, shard the meta-batch (and eval chunks) over this many devices
+    # along a "task" mesh axis (parallel/mesh.py). Takes precedence over
+    # task_group_size: sharding already divides per-chip HBM pressure by the
+    # mesh size.
+    mesh_tasks: int = 0
 
 
 def train_gecko(model, state: ModelState, train_store: TaskStore,
@@ -59,7 +64,15 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
     os.makedirs(save_dir, exist_ok=True)
     cfg = loop_config
 
-    if cfg.task_group_size:
+    mesh = None
+    if cfg.mesh_tasks:
+        from mliis_tpu.parallel.mesh import (make_sharded_train_step,
+                                             make_task_mesh)
+        mesh = make_task_mesh(cfg.mesh_tasks)
+        train_step = make_sharded_train_step(
+            model, loss_config, opt_config, meta_config,
+            n_max=train_store.images.shape[1], mesh=mesh)
+    elif cfg.task_group_size:
         train_step = make_microbatched_train_step(
             model, loss_config, opt_config, meta_config,
             n_max=train_store.images.shape[1],
@@ -80,15 +93,21 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
         task_chunk_size=eval_task_chunk_size)
     evaluators = {
         "train": GeckoEvaluator(model, loss_config, opt_config, eval_cfg,
-                                train_store),
+                                train_store, mesh=mesh),
         "test": GeckoEvaluator(model, loss_config, opt_config, eval_cfg,
-                               test_store),
+                               test_store, mesh=mesh),
     }
     writers = {split: MetricsWriter(save_dir, split)
                for split in ("train", "test")}
 
     from mliis_tpu.meta.evaluate import device_store_arrays
     store_images, store_masks, store_counts = device_store_arrays(train_store)
+    if mesh is not None:
+        from mliis_tpu.parallel.mesh import replicate_to_mesh
+        store_images, store_masks, store_counts = replicate_to_mesh(
+            (store_images, store_masks, store_counts), mesh)
+        state = replicate_to_mesh(
+            jax.tree_util.tree_map(jnp.array, state), mesh)
 
     best_eval_iou = -np.inf
     best_save_dir = os.path.join(save_dir, "best_eval")

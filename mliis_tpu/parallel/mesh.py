@@ -27,9 +27,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mliis_tpu.meta import episodes
 from mliis_tpu.meta.evaluate import EvalConfig, make_eval_task_fn
 from mliis_tpu.meta.inner_loop import (LossConfig, ModelState,
-                                       OptimizerConfig, make_adapt_fn)
-from mliis_tpu.meta.learners import MetaTrainConfig
-from mliis_tpu.ops import meta_math
+                                       OptimizerConfig)
+from mliis_tpu.meta.learners import (MetaTrainConfig, apply_outer_update,
+                                     make_per_task_fn)
 
 TASK_AXIS = "task"
 
@@ -46,71 +46,17 @@ def make_sharded_train_step(model, loss_config: LossConfig,
                             config: MetaTrainConfig, n_max: int, mesh: Mesh):
     """Meta-train step with the meta-batch sharded over the task axis.
 
-    Semantics match learners.make_*_train_step exactly (same weighted
-    averages over exactly meta_batch_size tasks); FOMAML support includes
-    the tail-shot split.
+    Per-task semantics come from learners.make_per_task_fn — the same
+    function the single-device and microbatched steps vmap — and the random
+    streams are slot-indexed (episodes.slot_task_ids/slot_keys), so for a
+    given key this step is numerically identical to the unsharded
+    learners.make_train_step up to psum reduction order (asserted by
+    tests/test_parallel.py).
     """
     num_devices = mesh.shape[TASK_AXIS]
     m = config.meta_batch_size
     local_n = -(-m // num_devices)  # ceil
-    adapt = make_adapt_fn(model, loss_config, opt_config,
-                          weight_decay_rate=config.weight_decay_rate,
-                          augment=config.augment,
-                          precompute_augment=config.precompute_augment)
-    adapt_raw = make_adapt_fn(model, loss_config, opt_config,
-                              weight_decay_rate=config.weight_decay_rate,
-                              augment=False)
-    tail = config.tail_shots
-    # Gecko does not forward aug_rate (defaults to the 6/7 gate); FOMLIS does.
-    aug_rate = config.aug_rate if config.foml else None
-
-    def per_task(state, task_images_u8, task_masks_u8, count, key, lr):
-        k_shots, k_split, k_batches, k_steps, k_tail = jax.random.split(key, 5)
-        shot_idx = episodes.sample_shot_indices(k_shots, count,
-                                                config.num_shots, n_max)
-        support_images = task_images_u8[shot_idx]
-        support_masks = task_masks_u8[shot_idx]
-        if config.foml and tail is not None:
-            train_shots = config.num_shots - tail
-            if config.sample_train_val_with_replacement:
-                train_rel, tail_rel = episodes.split_with_replacement(
-                    k_split, config.num_shots, train_shots, tail)
-            else:
-                train_rel, tail_rel = episodes.split_support_query(
-                    k_split, config.num_shots, tail)
-            idx_matrix = episodes.batch_indices(
-                k_batches, train_shots, config.inner_batch_size,
-                config.inner_iters - 1, config.replacement)
-            keys = jax.random.split(k_steps, config.inner_iters - 1)
-            lrs = jnp.full((config.inner_iters - 1,), lr, jnp.float32)
-            pre_tail, _ = adapt(state, support_images[train_rel],
-                                support_masks[train_rel], idx_matrix, keys,
-                                lrs, aug_rate=aug_rate)
-            tail_idx = jnp.arange(tail)[None, :]
-            final, _ = adapt_raw(pre_tail, support_images[tail_rel],
-                                 support_masks[tail_rel], tail_idx,
-                                 k_tail[None],
-                                 jnp.full((1,), lr, jnp.float32))
-            update = meta_math.tree_sub(final.params, pre_tail.params)
-        else:
-            idx_matrix = episodes.batch_indices(
-                k_batches, config.num_shots, config.inner_batch_size,
-                config.inner_iters, config.replacement)
-            keys = jax.random.split(k_steps, config.inner_iters)
-            lrs = jnp.full((config.inner_iters,), lr, jnp.float32)
-            if config.foml:
-                pre_tail, _ = adapt(state, support_images, support_masks,
-                                    idx_matrix[:-1], keys[:-1], lrs[:-1],
-                                    aug_rate=aug_rate)
-                final, _ = adapt(pre_tail, support_images, support_masks,
-                                 idx_matrix[-1:], keys[-1:], lrs[-1:],
-                                 aug_rate=aug_rate)
-                update = meta_math.tree_sub(final.params, pre_tail.params)
-            else:
-                final, _ = adapt(state, support_images, support_masks,
-                                 idx_matrix, keys, lrs, aug_rate=aug_rate)
-                update = final.params  # Reptile averages adapted params
-        return update, final
+    per_task = make_per_task_fn(model, loss_config, opt_config, config, n_max)
 
     def shard_fn(state, store_images, store_masks, counts, key,
                  meta_step_size, lr):
@@ -119,13 +65,11 @@ def make_sharded_train_step(model, loss_config: LossConfig,
         k_tasks, k_inner = jax.random.split(key)
         # Deterministic global sampling: device d draws global slots
         # [d*local_n, (d+1)*local_n); slots >= m carry zero weight.
-        global_slots = dev * local_n + jnp.arange(local_n)
-        slot_keys = jax.vmap(
-            lambda s: jax.random.fold_in(k_tasks, s))(global_slots)
-        task_ids = jax.vmap(
-            lambda k: jax.random.randint(k, (), 0, num_tasks))(slot_keys)
-        inner_keys = jax.vmap(
-            lambda s: jax.random.fold_in(k_inner, s))(global_slots)
+        offset = dev * local_n
+        global_slots = offset + jnp.arange(local_n)
+        task_ids = episodes.slot_task_ids(k_tasks, num_tasks, local_n,
+                                          offset=offset)
+        inner_keys = episodes.slot_keys(k_inner, local_n, offset=offset)
         weights = (global_slots < m).astype(jnp.float32)
 
         updates, finals = jax.vmap(
@@ -141,18 +85,11 @@ def make_sharded_train_step(model, loss_config: LossConfig,
                 return jax.lax.psum(jnp.sum(x * w, axis=0) / m, TASK_AXIS)
             return jax.tree_util.tree_map(f, tree)
 
-        mean_update = wmean(updates)
-        if config.foml:
-            new_params = meta_math.tree_add(
-                state.params, meta_math.tree_scale(mean_update,
-                                                   meta_step_size))
-        else:
-            new_params = meta_math.tree_interpolate(
-                state.params, mean_update, meta_step_size)
+        new_params = apply_outer_update(state, wmean(updates), meta_step_size,
+                                        config.foml)
         new_bn = wmean(finals.batch_stats)
-        new_opt_v = wmean(finals.opt.v)
         new_opt = state.opt._replace(
-            v=new_opt_v, step=finals.opt.step[0])
+            v=wmean(finals.opt.v), step=finals.opt.step[0])
         return ModelState(new_params, new_bn, new_opt)
 
     from jax import shard_map

@@ -9,7 +9,7 @@ from mliis_tpu.data.synthetic import make_synthetic_store
 from mliis_tpu.meta.evaluate import EvalConfig, make_eval_task_fn
 from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
                                        init_model_state)
-from mliis_tpu.meta.learners import MetaTrainConfig
+from mliis_tpu.meta.learners import MetaTrainConfig, make_train_step
 from mliis_tpu.parallel.mesh import (make_sharded_eval_chunk,
                                      make_sharded_train_step, make_task_mesh,
                                      replicate_to_mesh)
@@ -73,6 +73,37 @@ def test_sharded_reptile_zero_step_identity(setup):
                jnp.float32(0.01))
     for a, b in zip(jax.tree_util.tree_leaves(out.params), before):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-6)
+
+
+@pytest.mark.parametrize("foml,tail", [(False, None), (True, 2)])
+def test_sharded_train_step_matches_unsharded(setup, foml, tail):
+    """Slot-indexed task/key sampling makes the mesh-sharded meta-step
+    numerically identical to learners.make_train_step under the same key
+    (up to psum reduction order) — including a padded mesh (m=5 on 8
+    devices, 3 zero-weight slots)."""
+    store, model, loss_cfg, opt_cfg, state = setup
+    mesh = make_task_mesh(8)
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3, inner_iters=2,
+                          meta_batch_size=5, foml=foml, tail_shots=tail,
+                          augment=False)
+    sharded = make_sharded_train_step(model, loss_cfg, opt_cfg, cfg,
+                                      n_max=10, mesh=mesh)
+    plain = jax.jit(make_train_step(model, loss_cfg, opt_cfg, cfg, n_max=10))
+    imgs, msks, cnts = (jnp.asarray(store.images), jnp.asarray(store.masks),
+                        jnp.asarray(store.counts))
+    key = jax.random.PRNGKey(42)
+    b = plain(state, imgs, msks, cnts, key, jnp.float32(0.3),
+              jnp.float32(0.01))
+    state_r = replicate_to_mesh(jax.tree_util.tree_map(jnp.array, state),
+                                mesh)
+    args_r = replicate_to_mesh((imgs, msks, cnts), mesh)
+    a = sharded(state_r, *args_r, key, jnp.float32(0.3), jnp.float32(0.01))
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(a.batch_stats),
+                    jax.tree_util.tree_leaves(b.batch_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
 def test_sharded_eval_chunk_matches_unsharded(setup):
