@@ -103,6 +103,10 @@ def argument_parser():
     add('--uho_results_csv_name', type=str,
         default='val-set_hyper_param_search_results.csv')
     add('--uho_estimator', default='GP', type=str)
+    add('--test_train_test_split', action='store_true',
+        help='Also assert sha-256 image-level train/test disjointness '
+             '(metaseg.py:305-310; name-level disjointness is always '
+             'checked).')
     # --- TPU-framework extensions ---
     add('--synthetic', action='store_true',
         help='Use synthetic tasks instead of FSS-1000 shards (for smoke '

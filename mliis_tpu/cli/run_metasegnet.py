@@ -18,8 +18,10 @@ import numpy as np
 from mliis_tpu.cli import args as args_lib
 from mliis_tpu.data import manifests
 from mliis_tpu.data.synthetic import make_synthetic_store
-from mliis_tpu.data.task_store import (load_task_store, split_fss_1000,
-                                       union_tasks_by_synonyms)
+from mliis_tpu.data.task_store import (assert_train_test_split,
+                                       load_task_store, split_fss_1000,
+                                       union_tasks_by_synonyms,
+                                       validate_datasets)
 from mliis_tpu.meta.evaluate import GeckoEvaluator, evaluate_gecko
 from mliis_tpu.meta.inner_loop import init_model_state
 from mliis_tpu.meta.kshot import run_k_shot_learning_curves_experiment
@@ -84,6 +86,19 @@ def main(argv=None):
     print("Found {} testing tasks.".format(test_store.num_tasks))
     if train_store is not None:
         print("Found {} training tasks.".format(train_store.num_tasks))
+    validate_datasets(train_store, val_store, test_store,
+                      pretrained=args.pretrained,
+                      run_k_shot_experiment=(
+                          args.run_k_shot_learning_curves_experiment),
+                      eval_val_tasks=args.eval_val_tasks)
+    if not args.run_k_shot_learning_curves_experiment:
+        assert_train_test_split(
+            train_store, test_store,
+            check_image_hashes=args.test_train_test_split)
+        if val_store is not None:
+            assert_train_test_split(
+                val_store, test_store,
+                check_image_hashes=args.test_train_test_split)
 
     if args.restore_efficient_net_weights_from and not args.pretrained:
         print("Restoring backbone from {}".format(

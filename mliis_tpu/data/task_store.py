@@ -50,7 +50,7 @@ class TaskStore:
         return self.images.shape[2]
 
     def subset(self, indices: Sequence[int]) -> "TaskStore":
-        idx = np.asarray(indices)
+        idx = np.asarray(indices, dtype=np.int64)
         return TaskStore(self.images[idx], self.masks[idx], self.counts[idx],
                          [self.names[i] for i in idx])
 
@@ -163,6 +163,52 @@ def split_fss_1000(store: TaskStore, num_val_tasks: int = 0,
     val = store.subset_by_names(val_names) if val_names else None
     test = store.subset_by_names(test_names)
     return train, val, test
+
+
+def image_hashes(store: TaskStore) -> set:
+    """sha-256 of every valid image's bytes (hash_np_array equivalent,
+    fss_1000_utils semantics used by metaseg.py:305-310)."""
+    import hashlib
+    out = set()
+    for t in range(store.num_tasks):
+        for i in range(int(store.counts[t])):
+            out.add(hashlib.sha256(store.images[t, i].tobytes()).hexdigest())
+    return out
+
+
+def assert_train_test_split(train: Optional[TaskStore],
+                            test: TaskStore,
+                            check_image_hashes: bool = False) -> None:
+    """Train/test leakage invariants.
+
+    Task-name disjointness always (assert_train_test_split,
+    fss_1000_utils.py:22-24); with check_image_hashes, sha-256 image-level
+    disjointness too (metaseg.py:305-310 — the reference computes it
+    per-episode behind the test_train_test_split flag; at store granularity
+    it is strictly stronger and runs once)."""
+    if train is None:
+        return
+    overlap = set(train.names) & set(test.names)
+    assert not overlap, \
+        "train/test task names overlap: {}".format(sorted(overlap)[:5])
+    if check_image_hashes:
+        leaked = image_hashes(train) & image_hashes(test)
+        assert not leaked, \
+            "{} identical images appear in both train and test".format(
+                len(leaked))
+
+
+def validate_datasets(train: Optional[TaskStore], val: Optional[TaskStore],
+                      test: TaskStore, pretrained: bool = False,
+                      run_k_shot_experiment: bool = False,
+                      eval_val_tasks: bool = False) -> None:
+    """Dataset sanity checks (utils/util.py:124-130)."""
+    if not pretrained and not run_k_shot_experiment:
+        assert train is not None and train.num_tasks > 0, \
+            "Training set must have examples."
+    assert test.num_tasks > 0, "Test set must have examples."
+    if eval_val_tasks and val is not None and val.num_tasks == 0:
+        raise ValueError("Val set has no tasks to evaluate")
 
 
 def union_tasks_by_synonyms(store: TaskStore,

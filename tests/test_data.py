@@ -7,9 +7,11 @@ import pytest
 
 from mliis_tpu.data import manifests, tfrecord
 from mliis_tpu.data.synthetic import make_synthetic_store
-from mliis_tpu.data.task_store import (TaskStore, load_task_store,
-                                       split_fss_1000, task_name_from_path,
-                                       union_tasks_by_synonyms)
+from mliis_tpu.data.task_store import (TaskStore, assert_train_test_split,
+                                       load_task_store, split_fss_1000,
+                                       task_name_from_path,
+                                       union_tasks_by_synonyms,
+                                       validate_datasets)
 
 
 def test_manifest_sizes():
@@ -127,3 +129,35 @@ def test_synthetic_store_learnable_structure():
     # every example has nonempty foreground and background
     fg_frac = (store.masks > 0).mean(axis=(2, 3))
     assert (fg_frac > 0.01).all() and (fg_frac < 0.9).all()
+
+
+def test_assert_train_test_split_detects_leaks():
+    store = make_synthetic_store(num_tasks=4, examples_per_task=4,
+                                 image_size=16, seed=2)
+    train = store.subset([0, 1])
+    test = store.subset([2, 3])
+    assert_train_test_split(train, test, check_image_hashes=True)  # clean
+
+    # Name-level leak.
+    with pytest.raises(AssertionError, match="task names overlap"):
+        assert_train_test_split(train, store.subset([1, 2]))
+
+    # Image-level leak under distinct names: copy a train image into test.
+    leaked = TaskStore(test.images.copy(), test.masks.copy(),
+                       test.counts.copy(), list(test.names))
+    leaked.images[0, 0] = train.images[0, 0]
+    assert_train_test_split(train, leaked)  # name check alone passes
+    with pytest.raises(AssertionError, match="identical images"):
+        assert_train_test_split(train, leaked, check_image_hashes=True)
+
+
+def test_validate_datasets():
+    store = make_synthetic_store(num_tasks=2, examples_per_task=4,
+                                 image_size=16)
+    validate_datasets(store, None, store)
+    with pytest.raises(AssertionError, match="Training set"):
+        validate_datasets(None, None, store)
+    validate_datasets(None, None, store, pretrained=True)
+    with pytest.raises(ValueError, match="no tasks"):
+        validate_datasets(store, store.subset([]), store,
+                          eval_val_tasks=True)
