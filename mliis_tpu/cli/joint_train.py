@@ -50,12 +50,16 @@ def parse_args(argv=None):
     add('--checkpoint', default='/tmp/model_checkpoint', type=str)
     add('--synthetic', action='store_true')
     add('--synthetic_tasks', type=int, default=8)
+    add('--pallas_augment', choices=['auto', 'on', 'off'], default='auto',
+        help='Fused Pallas augmentation kernel (auto = on for TPU backends).')
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     start = time.time()
     args = parse_args(argv)
+    from mliis_tpu.utils.cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     if args.synthetic:
         store = make_synthetic_store(num_tasks=args.synthetic_tasks,
@@ -109,7 +113,9 @@ def main(argv=None):
         final_learning_rate=args.final_learning_rate,
         label_smoothing=args.label_smoothing, augment=args.augment,
         l2=args.l2, eval_interval=args.eval_interval,
-        val_batches=args.val_batches)
+        val_batches=args.val_batches,
+        use_pallas_augment={'auto': None, 'on': True,
+                            'off': False}[args.pallas_augment])
     trainer = JointTrainer(model, train_ds, test_ds, config, opt_cfg)
     trainer.train(state, args.checkpoint, jax.random.PRNGKey(args.seed + 1))
 

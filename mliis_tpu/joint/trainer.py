@@ -140,6 +140,12 @@ class JointTrainConfig:
     val_batches: int = 20
     save_checkpoint_every_n_epochs: int = 2
     steps_per_launch: int = 8   # SGD steps fused per device launch
+    # Fused Pallas augmentation kernel (ops/pallas_augment.py) instead of the
+    # jnp composition. None = auto (on for TPU backends). The kernel is also
+    # the closer parity match: it implements the reference's random-prefix
+    # Augmenter composition (np_augmenters.py:144-156) exactly, where the
+    # jnp path gates each function independently.
+    use_pallas_augment: Optional[bool] = None
 
 
 class JointTrainer:
@@ -155,6 +161,11 @@ class JointTrainer:
         self._labels = jnp.asarray(dataset.labels)
         self._val_images = jnp.asarray(val_dataset.images)
         self._val_labels = jnp.asarray(val_dataset.labels)
+        on_tpu = jax.default_backend() == "tpu"
+        self._use_pallas = (on_tpu if config.use_pallas_augment is None
+                            else config.use_pallas_augment)
+        # Off-TPU the kernel runs in Pallas interpret mode (tests/CI).
+        self._pallas_interpret = not on_tpu
         self._train_launch = jax.jit(self._make_train_launch(),
                                      donate_argnums=(0,))
         self._val_step = jax.jit(self._make_val_step())
@@ -181,7 +192,23 @@ class JointTrainer:
                 k_aug, k_drop = jax.random.split(key)
                 images = self._images[idx].astype(jnp.float32)
                 labels = self._labels[idx]
-                if cfg.augment:
+                if cfg.augment and self._use_pallas:
+                    import contextlib
+                    from jax.experimental.pallas import tpu as pltpu
+                    from mliis_tpu.ops.pallas_augment import \
+                        fused_light_augment
+                    seeds = jax.random.randint(
+                        k_aug, (images.shape[0],), 0, jnp.iinfo(jnp.int32).max)
+                    ctx = (pltpu.force_tpu_interpret_mode()
+                           if self._pallas_interpret
+                           else contextlib.nullcontext())
+                    # prob_original=0.0: the joint input_fn calls
+                    # apply_augmentations with its default gate
+                    # (joint_train/data/input_fn.py:80-83).
+                    with ctx:
+                        images, labels = fused_light_augment(
+                            seeds, images, labels, prob_original=0.0)
+                elif cfg.augment:
                     aug_keys = jax.random.split(k_aug, images.shape[0])
                     images, labels = jax.vmap(
                         lambda k, i, l: _augment_joint(

@@ -80,15 +80,19 @@ def _stripe_mask(h, w, axis, shift):
     `axis` may be traced: both static-iota masks are built and selected."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    stripe_h = jnp.where(shift >= 0, rows < shift, rows >= h + shift)
-    stripe_w = jnp.where(shift >= 0, cols < shift, cols >= w + shift)
-    return jnp.where(axis == 0, stripe_h, stripe_w)
+    # All selects via i32: Mosaic cannot legalize arith.select on i1 vectors.
+    stripe_h = jnp.where(shift >= 0, (rows < shift).astype(jnp.int32),
+                         (rows >= h + shift).astype(jnp.int32))
+    stripe_w = jnp.where(shift >= 0, (cols < shift).astype(jnp.int32),
+                         (cols >= w + shift).astype(jnp.int32))
+    picked = jnp.where(axis == 0, stripe_h, stripe_w)
+    return picked == 1
 
 
-def _augment_kernel(seed_ref, image_ref, mask_ref, out_image_ref,
+def _augment_kernel(seed, image_ref, mask_ref, out_image_ref,
                     out_mask_ref, *, height, width, max_shift,
                     prob_original, noise_mean_sd, exposure_mean_sd):
-    pltpu.prng_seed(seed_ref[0])
+    pltpu.prng_seed(seed)
     image = image_ref[:]          # [3, H, W] float32 in [0, 255]
     mask = mask_ref[:]            # [H, W] float32 class indices
     orig_image, orig_mask = image, mask
@@ -197,35 +201,32 @@ def fused_light_augment(seeds: jnp.ndarray, images: jnp.ndarray,
         prob_original=prob_original, noise_mean_sd=noise_mean_sd,
         exposure_mean_sd=exposure_mean_sd)
 
+    # None block dims squeeze the per-sample axis inside the kernel refs —
+    # Mosaic rejects the equivalent manual ref.at[0] view as an unaligned
+    # memref slice when H/W aren't 128-lane multiples.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 3, h, w), lambda i, seeds: (i, 0, 0, 0),
+            pl.BlockSpec((None, 3, h, w), lambda i, seeds: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i, seeds: (i, 0, 0),
+            pl.BlockSpec((None, h, w), lambda i, seeds: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, h, w), lambda i, seeds: (i, 0, 0, 0),
+            pl.BlockSpec((None, 3, h, w), lambda i, seeds: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i, seeds: (i, 0, 0),
+            pl.BlockSpec((None, h, w), lambda i, seeds: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
 
     def block_kernel(seed_all_ref, image_ref, mask_ref, out_image_ref,
                      out_mask_ref):
-        i = pl.program_id(0)
-        seed_ref = seed_all_ref.at[pl.ds(i, 1)]
-        _augment_block(seed_ref, image_ref, mask_ref, out_image_ref,
-                       out_mask_ref)
-
-    def _augment_block(seed_ref, image_ref, mask_ref, out_image_ref,
-                       out_mask_ref):
-        kernel(seed_ref,
-               image_ref.at[0], mask_ref.at[0],
-               out_image_ref.at[0], out_mask_ref.at[0])
+        # Scalar read, not a length-1 dynamic slice: Mosaic requires SMEM
+        # memref slices aligned to the 128-lane tiling.
+        seed = seed_all_ref[pl.program_id(0)]
+        kernel(seed, image_ref, mask_ref, out_image_ref, out_mask_ref)
 
     out_images_cm, out_masks = pl.pallas_call(
         block_kernel,

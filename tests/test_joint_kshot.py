@@ -86,3 +86,25 @@ def test_k_shot_learning_curves(tmp_path):
     with open(csv_path) as f:
         lines = f.read().strip().splitlines()
     assert lines[0] == "k,mIoU" and len(lines) == 5
+
+
+def test_joint_trainer_pallas_augment_path(tmp_path):
+    """--pallas_augment on: the joint path's augmentation runs through
+    ops/pallas_augment.fused_light_augment (interpret mode off-TPU)."""
+    store = make_synthetic_store(num_tasks=4, examples_per_task=6,
+                                 image_size=IMG)
+    train_ds = joint_dataset_from_task_store(store)
+    model = TinySeg(n_output_channels=train_ds.num_classes + 1)
+    cfg = JointTrainConfig(batch_size=4, epochs=1, steps_per_epoch=2,
+                           learning_rate=0.01, augment=True, l2=False,
+                           eval_interval=1, val_batches=1,
+                           steps_per_launch=2, use_pallas_augment=True)
+    trainer = JointTrainer(model, train_ds, train_ds, cfg,
+                           OptimizerConfig("sgd"))
+    assert trainer._use_pallas and trainer._pallas_interpret
+    state = init_model_state(model, jax.random.PRNGKey(0), IMG,
+                             OptimizerConfig("sgd"))
+    out = trainer.train(state, str(tmp_path), jax.random.PRNGKey(1),
+                        log_fn=lambda *a: None)
+    for leaf in jax.tree_util.tree_leaves(out.params):
+        assert np.isfinite(np.asarray(leaf)).all()
