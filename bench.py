@@ -38,9 +38,40 @@ def _wait_for_device(max_wait_s: float = 600.0):
             time.sleep(60)
 
 
+def _peak_flops_per_chip(device) -> float:
+    """Peak dense bf16 FLOP/s for the benchmark chip (for the MFU line)."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "tpu v5 lite": 197e12,   # v5e: 197 bf16 TFLOP/s/chip
+        "tpu v5e": 197e12,
+        "tpu v5p": 459e12,
+        "tpu v4": 275e12,
+        "tpu v6e": 918e12,
+    }
+    for name, peak in table.items():
+        if name in kind:
+            return peak
+    return float("nan")
+
+
+def _program_flops(jitted, *args) -> float:
+    """FLOPs of one compiled program via XLA cost analysis (NaN if the
+    backend doesn't expose it)."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis["flops"])
+    except Exception:  # noqa: BLE001 - cost analysis is backend-optional
+        return float("nan")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    from mliis_tpu.utils.cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     _wait_for_device()
     from mliis_tpu.data.synthetic import make_synthetic_store
     from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
@@ -94,6 +125,19 @@ def main():
     fused_step_s = min(times)
     tasks_per_sec = meta_batch / fused_step_s
 
+    # MFU: FLOPs of the meta-step (3 launches of the single compiled
+    # 2-task-slot group program) over measured time vs the chip's peak.
+    from mliis_tpu.meta.learners import make_group_train_step
+    group_step = jax.jit(make_group_train_step(
+        model, loss_cfg, opt_cfg, cfg, n_max=10, group_size=2))
+    group_flops = _program_flops(
+        group_step, state, imgs, msks, cnts, jax.random.PRNGKey(1),
+        jnp.float32(0.1), jnp.float32(5e-4), jnp.float32(2.0))
+    num_launches = -(-meta_batch // 2)
+    step_flops = group_flops * num_launches
+    peak = _peak_flops_per_chip(jax.devices()[0])
+    mfu = step_flops / fused_step_s / peak
+
     # Session-style baseline: per-SGD-step dispatch, host batch assembly,
     # serialized tasks, host export/import of the full model per task
     # (reptile.py:102-125's boundary-crossing pattern). No augmentation —
@@ -137,9 +181,14 @@ def main():
         "value": round(tasks_per_sec, 3),
         "unit": "tasks/s/chip",
         "vs_baseline": round(vs_baseline, 2),
+        "mfu": None if np.isnan(mfu) else round(mfu, 4),
         "detail": {
             "fused_meta_step_s": round(fused_step_s, 4),
             "compile_s": round(compile_s, 1),
+            "meta_step_tflops": (None if np.isnan(step_flops)
+                                 else round(step_flops / 1e12, 2)),
+            "peak_tflops_bf16": (None if np.isnan(peak)
+                                 else round(peak / 1e12, 1)),
             "session_style_task_s": round(baseline_task_s, 3),
             "config": "FOMAML* meta-batch 5 x 59 steps x bs8 @224, "
                       "EfficientLab-6-3, bce_dice, aug 0.5",

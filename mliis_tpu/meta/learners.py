@@ -262,7 +262,7 @@ def make_group_train_step(model, loss_config: LossConfig,
 def make_microbatched_train_step(model, loss_config: LossConfig,
                                  opt_config: OptimizerConfig,
                                  config: MetaTrainConfig, n_max: int,
-                                 group_size: int):
+                                 group_size: int, pad_tail: bool = False):
     """Meta-step with the meta-batch processed in HBM-sized task groups.
 
     Both Reptile and FOMAML outer updates are linear in the per-task
@@ -273,10 +273,17 @@ def make_microbatched_train_step(model, loss_config: LossConfig,
     activations exceed one chip's HBM (224px batch-8 inner loops fit ~2-3
     tasks per 16 GB v5e chip at bf16).
 
-    All groups, including a ragged tail, share ONE compiled program of
-    `group_size` slots with a traced real-task count: on the axon remote
-    (~45-70 s per XLA program) the 5 = 2+2+1 run.sh meta-batch costs one
-    compile instead of two."""
+    A ragged tail (5 = 2+2+1) can run two ways:
+      - pad_tail=False (default): one compiled program per distinct group
+        size (<= 2 programs). Best steady-state throughput — the tail
+        launch does exactly its share of work. Measured on v5e: 7.45 s vs
+        8.98 s per run.sh meta-step against the padded mode (the padded
+        tail recomputes a full group, +20% FLOPs). The persistent
+        compilation cache (utils/cache.py) absorbs the extra program's
+        one-time ~45-70 s axon remote compile.
+      - pad_tail=True: ONE compiled program of `group_size` slots with a
+        traced real-task count; padded slots carry zero weight. For
+        compile-budgeted environments without a warm cache."""
     m = config.meta_batch_size
     sizes = []
     remaining = m
@@ -284,16 +291,24 @@ def make_microbatched_train_step(model, loss_config: LossConfig,
         take = min(group_size, remaining)
         sizes.append(take)
         remaining -= take
-    group_step = jax.jit(
-        make_group_train_step(model, loss_config, opt_config, config, n_max,
-                              group_size=min(group_size, m)))
+    if pad_tail:
+        padded_step = jax.jit(
+            make_group_train_step(model, loss_config, opt_config, config,
+                                  n_max, group_size=min(group_size, m)))
+        steps = {size: padded_step for size in set(sizes)}
+    else:
+        steps = {
+            size: jax.jit(make_group_train_step(
+                model, loss_config, opt_config, config, n_max,
+                group_size=size))
+            for size in set(sizes)}
 
     def train_step(state: ModelState, store_images, store_masks, counts, key,
                    meta_step_size, lr) -> ModelState:
         group_states = []
         for g, size in enumerate(sizes):
             gkey = jax.random.fold_in(key, g)
-            group_states.append(group_step(
+            group_states.append(steps[size](
                 state, store_images, store_masks, counts, gkey,
                 meta_step_size, lr, jnp.float32(size)))
         weights = jnp.asarray([s / m for s in sizes], jnp.float32)

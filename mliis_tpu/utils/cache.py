@@ -1,0 +1,31 @@
+"""Persistent XLA compilation cache.
+
+The axon remote compiles cost ~45-70 s per program (CLAUDE.md); caching
+compiled executables on disk makes every driver restart after the first
+nearly compile-free. Safe no-op when the backend doesn't support
+serializable executables.
+"""
+import os
+
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/mliis_tpu_xla")
+
+
+def enable_persistent_compilation_cache(cache_dir: str = None) -> bool:
+    """Enable jax's persistent compilation cache; returns success.
+
+    TPU backends only: cached XLA:CPU AOT executables carry the compiling
+    machine's feature set and can SIGILL when the remote compile helper and
+    the host CPU differ (observed on the axon path)."""
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        jax.config.update("jax_compilation_cache_dir",
+                          cache_dir or DEFAULT_CACHE_DIR)
+        # Cache everything that took meaningful compile time.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:  # noqa: BLE001 - unsupported backend/config -> no-op
+        return False

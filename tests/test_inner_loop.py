@@ -229,9 +229,11 @@ def test_group_step_padded_slot_carries_zero_weight(setup):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
-def test_microbatched_ragged_tail(setup):
-    """meta_batch=3 in groups of 2 (2+1, padded tail): identity at zero meta
-    step, deterministic, finite — and FOMAML* variant runs too."""
+@pytest.mark.parametrize("pad_tail", [False, True])
+def test_microbatched_ragged_tail(setup, pad_tail):
+    """meta_batch=3 in groups of 2 (2+1 tail, exact-size or padded
+    programs): identity at zero meta step, deterministic, finite — and
+    FOMAML* variant runs too."""
     store, model, opt_cfg, state = setup
     for foml, tail in ((False, None), (True, 3)):
         cfg = MetaTrainConfig(num_shots=8, inner_batch_size=3, inner_iters=2,
@@ -239,7 +241,7 @@ def test_microbatched_ragged_tail(setup):
                               augment=False)
         step = make_microbatched_train_step(model, LossConfig(l2=False),
                                             opt_cfg, cfg, n_max=10,
-                                            group_size=2)
+                                            group_size=2, pad_tail=pad_tail)
         args = (jnp.asarray(store.images), jnp.asarray(store.masks),
                 jnp.asarray(store.counts), jax.random.PRNGKey(11))
         frozen = step(state, *args, jnp.float32(0.0), jnp.float32(0.01))
@@ -253,6 +255,28 @@ def test_microbatched_ragged_tail(setup):
                         jax.tree_util.tree_leaves(y.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
             assert np.isfinite(np.asarray(a)).all()
+
+
+def test_microbatched_pad_modes_agree(setup):
+    """Exact-size and padded-tail programs sample identical episodes (slot
+    keying) and must produce the same meta-step result."""
+    store, model, opt_cfg, state = setup
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3, inner_iters=2,
+                          meta_batch_size=3, foml=False, augment=False)
+    exact = make_microbatched_train_step(model, LossConfig(l2=False),
+                                         opt_cfg, cfg, n_max=10,
+                                         group_size=2, pad_tail=False)
+    padded = make_microbatched_train_step(model, LossConfig(l2=False),
+                                          opt_cfg, cfg, n_max=10,
+                                          group_size=2, pad_tail=True)
+    args = (jnp.asarray(store.images), jnp.asarray(store.masks),
+            jnp.asarray(store.counts), jax.random.PRNGKey(13),
+            jnp.float32(0.2), jnp.float32(0.01))
+    a = exact(state, *args)
+    b = padded(state, *args)
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
 
 
 def test_meta_step_size_schedule():
