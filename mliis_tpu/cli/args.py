@@ -22,6 +22,8 @@ def argument_parser():
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     add = parser.add_argument
+    # Parsed-but-unused in the reference too (args.py:21-24 have no reader
+    # outside the parser); accepted for CLI compatibility.
     add('--fine-tune-task', type=str, default=None)
     add('--fine-tuned-checkpoint', type=str, default=None)
     add('--pretrained', action='store_true', default=False,
@@ -73,13 +75,18 @@ def argument_parser():
     add('--image_size', type=int, default=320)
     add('--label_smoothing', default=0.0, type=float)
     add('--continue_training_from_checkpoint', default=None)
-    add('--fss_1000', action='store_true')
+    add('--fss_1000', action='store_true',
+        help='FSS-1000 dataset: one train/val split sampled per UHO config '
+             'instead of four (run_metasegnet.py:142).')
     add('--num_val_tasks', type=int, default=0)
     add('--eval_val_tasks', action='store_true')
     add('--serially_eval_all_test_tasks', action='store_true')
     add('--optimize_update_hyperparms_on_val_set', action='store_true')
     add('--num_configs_to_sample', default=100, type=int)
     add('--meta_fine_tune_steps_on_train_val', type=int, default=0)
+    # In the reference this sets skopt's log base for the log-uniform priors
+    # (args.py:95 -> base=). A log-uniform distribution is base-invariant, so
+    # it is accepted for compatibility with no behavioral effect.
     add('--uho_outer_iters', type=int, default=2)
     add('--lr_search_range_low', default=0.0005, type=float)
     add('--lr_search_range_high', default=0.05, type=float)
@@ -103,6 +110,10 @@ def argument_parser():
     add('--uho_results_csv_name', type=str,
         default='val-set_hyper_param_search_results.csv')
     add('--uho_estimator', default='GP', type=str)
+    add('--use_batch_stats_at_predict', action='store_true',
+        help='Legacy no-is_training-flag prediction mode: BN uses batch '
+             'statistics at predict time, so transductive genuinely leaks '
+             'across the query batch (reptile.py:500-524).')
     add('--test_train_test_split', action='store_true',
         help='Also assert sha-256 image-level train/test disjointness '
              '(metaseg.py:305-310; name-level disjointness is always '
@@ -199,4 +210,5 @@ def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
         lr_scheduler=args.learning_rate_scheduler,
         lr_decay_rate=args.step_decay_rate,
         lr_decay_after_n_steps=args.decay_after_n_steps,
+        use_batch_stats_at_predict=args.use_batch_stats_at_predict,
         task_chunk_size=args.task_chunk_size)

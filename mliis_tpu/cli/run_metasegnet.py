@@ -62,6 +62,8 @@ def main(argv=None):
     start_time = datetime.datetime.now()
     print("Experiment started at: {}".format(start_time))
     args = args_lib.argument_parser().parse_args(argv)
+    from mliis_tpu.utils.cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     if args.optimize_update_hyperparms_on_val_set:
         assert args.num_val_tasks > 0, \
@@ -145,6 +147,8 @@ def main(argv=None):
         estimated_lr, estimated_steps = optimize_update_hyperparams(
             es_eval, state, uho_key, min_steps=args.min_steps,
             max_steps=args.max_steps,
+            num_train_val_data_splits_to_sample_per_config=(
+                1 if args.fss_1000 else 4),
             num_configs_to_sample=args.num_configs_to_sample,
             lr_search_range_low=args.lr_search_range_low,
             lr_search_range_high=args.lr_search_range_high,

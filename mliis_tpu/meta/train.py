@@ -24,6 +24,7 @@ from mliis_tpu.meta.learners import (MetaTrainConfig,
                                      meta_step_size_schedule)
 from mliis_tpu.utils import checkpoint as ckpt_lib
 from mliis_tpu.utils.logging import MetricsWriter, log_estimated_time_remaining
+from mliis_tpu.utils.profiling import PhaseTimer
 
 
 @dataclasses.dataclass
@@ -111,25 +112,30 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
 
     best_eval_iou = -np.inf
     best_save_dir = os.path.join(save_dir, "best_eval")
+    timer = PhaseTimer()
 
     for i in range(cfg.meta_iters):
         begin_time = time.time()
         cur_meta_step_size = meta_step_size_schedule(
             i, cfg.meta_iters, cfg.meta_step_size, cfg.meta_step_size_final)
         key, step_key = jax.random.split(key)
-        state = train_step(state, store_images, store_masks, store_counts,
-                           step_key, jnp.float32(cur_meta_step_size),
-                           jnp.float32(cfg.lr))
+        with timer.phase("meta_step"):
+            state = train_step(state, store_images, store_masks, store_counts,
+                               step_key, jnp.float32(cur_meta_step_size),
+                               jnp.float32(cfg.lr))
+            # Attribute real device time, not async dispatch (a meta-step is
+            # seconds of device work; the sync costs microseconds).
+            jax.block_until_ready(state.params)
 
         if i % cfg.eval_interval == 0:
-            jax.block_until_ready(state.params)
             mean_ious = []
             for split in ("train", "test"):
                 key, eval_key = jax.random.split(key)
-                mean_iou, _ = evaluators[split].evaluate(
-                    state, eval_key, lr=cfg.lr, eval_all_tasks=False,
-                    num_tasks_to_sample=cfg.num_tasks_to_eval,
-                    aug_rate=cfg.aug_rate)
+                with timer.phase("eval_" + split):
+                    mean_iou, _ = evaluators[split].evaluate(
+                        state, eval_key, lr=cfg.lr, eval_all_tasks=False,
+                        num_tasks_to_sample=cfg.num_tasks_to_eval,
+                        aug_rate=cfg.aug_rate)
                 writers[split].scalar("IoU", mean_iou, i)
                 writers[split].scalar("meta_step_size", cur_meta_step_size, i)
                 mean_ious.append(mean_iou)
@@ -151,9 +157,12 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
         if cfg.time_deadline is not None and time.time() > cfg.time_deadline:
             log_fn("Time deadline reached at step {}".format(i))
             break
+        # Printed every meta-step like the reference (train.py:134,
+        # util.py:94-98).
         log_estimated_time_remaining(begin_time, i, cfg.meta_iters,
-                                     log_fn=lambda *a: None)
+                                     log_fn=log_fn)
 
     for w in writers.values():
         w.close()
+    timer.dump(os.path.join(save_dir, "phase_timings.jsonl"), log_fn=log_fn)
     return state

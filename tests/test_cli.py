@@ -93,3 +93,17 @@ def test_joint_train_args_parse():
         "--val_batches 2"))
     assert a.sgd and a.l2 and a.augment
     assert a.rsd == [2] and a.batch_size == 3
+
+
+def test_use_batch_stats_at_predict_flag():
+    a = args_lib.argument_parser().parse_args(["--use_batch_stats_at_predict",
+                                               "--transductive"])
+    cfg = args_lib.eval_config(a)
+    assert cfg.use_batch_stats_at_predict and cfg.transductive
+    default = args_lib.eval_config(args_lib.argument_parser().parse_args([]))
+    assert not default.use_batch_stats_at_predict
+
+
+def test_mesh_tasks_flag_reaches_train_loop_config():
+    a = args_lib.argument_parser().parse_args(["--mesh_tasks", "8"])
+    assert args_lib.train_loop_config(a).mesh_tasks == 8

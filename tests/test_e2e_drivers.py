@@ -49,7 +49,7 @@ def test_run_metasegnet_uho_path(tmp_path, capsys):
     argv, ckpt = _meta_args(tmp_path, extra=[
         "--optimize_update_hyperparms_on_val_set", "--num_val_tasks", "2",
         "--num_configs_to_sample", "2", "--min_steps", "1",
-        "--max_steps", "3",
+        "--max_steps", "3", "--fss_1000",  # 1 split per config, not 4
     ])
     run_metasegnet.main(argv)
     out = capsys.readouterr().out
