@@ -128,16 +128,22 @@ def main():
     fused_step_s = min(times)
     tasks_per_sec = meta_batch / fused_step_s
 
-    # MFU: FLOPs of the meta-step (3 launches of the single compiled
-    # 2-task-slot group program) over measured time vs the chip's peak.
-    from mliis_tpu.meta.learners import make_group_train_step
-    group_step = jax.jit(make_group_train_step(
-        model, loss_cfg, opt_cfg, cfg, n_max=10, group_size=2))
-    group_flops = _program_flops(
-        group_step, state, imgs, msks, cnts, jax.random.PRNGKey(1),
-        jnp.float32(0.1), jnp.float32(5e-4), jnp.float32(2.0))
-    num_launches = -(-meta_batch // 2)
-    step_flops = group_flops * num_launches
+    # MFU: model-math FLOPs (one fwd+bwd at the inner-loop batch, from XLA
+    # cost analysis) x inner steps x meta-batch, over measured step time vs
+    # the chip's peak. Model-only is the stable denominator: cost analysis
+    # of the full scanned program varies with fusion shape (observed 10x
+    # swings for identical math), while augmentation/optimizer FLOPs are
+    # noise next to the convolutions.
+    batch_images = jnp.zeros((inner_batch, image_size, image_size, 3),
+                             jnp.float32)
+    batch_masks = jnp.zeros((inner_batch, image_size, image_size, 2),
+                            jnp.float32)
+    lg_raw = make_loss_and_grad(model, loss_cfg)
+    lg = jax.jit(lambda p, b, i, m: lg_raw(
+        p, b, i, m, jax.random.PRNGKey(0), jnp.float32(0.5)))
+    sgd_step_flops = _program_flops(lg, state.params, state.batch_stats,
+                                    batch_images, batch_masks)
+    step_flops = sgd_step_flops * inner_iters * meta_batch
     peak = _peak_flops_per_chip(jax.devices()[0])
     mfu = step_flops / fused_step_s / peak
 

@@ -79,13 +79,13 @@ def make_early_stopping_trace_fn(model, loss_config: LossConfig,
                                  augment: bool = True,
                                  weight_decay_rate: float = 1.0,
                                  support_size: int, val_size: int,
-                                 precompute_augment: bool = True):
+                                 precompute_augment: bool = False):
     """Build trace(state, support u8, val u8, key, lr, drop_rate, aug_rate)
     -> [max_steps] val mIoU after each inner step.
 
-    With precompute_augment (default), all step batches are augmented in one
-    vmapped bf16 pre-pass so the probe scan's body stays small — see
-    inner_loop.make_adapt_fn for the compile-cost rationale.
+    With precompute_augment, all step batches are augmented in one vmapped
+    bf16 pre-pass; since the rotation-once composition the in-scan default
+    is faster and compiles smaller (see MetaTrainConfig.precompute_augment).
     """
     from mliis_tpu.meta.inner_loop import make_loss_and_grad, apply_optimizer
     from mliis_tpu.ops import meta_math

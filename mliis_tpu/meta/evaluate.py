@@ -61,9 +61,9 @@ class EvalConfig:
     replacement: bool = False
     transductive: bool = False
     augment: bool = True
-    # Augment outside the scan (bf16-staged batches); the robust default for
-    # this platform's remote-compile path — see inner_loop.make_adapt_fn.
-    precompute_augment: bool = True
+    # In-scan augmentation (see MetaTrainConfig.precompute_augment): faster
+    # and cheaper to compile since the rotation-once composition.
+    precompute_augment: bool = False
     lr_scheduler: str = "fixed"
     lr_decay_rate: float = 0.5
     lr_decay_after_n_steps: int = 5

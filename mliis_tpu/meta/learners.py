@@ -50,7 +50,13 @@ class MetaTrainConfig:
     augment: bool = True
     aug_rate: Optional[float] = None  # None -> Augmenter default gate (6/7)
     weight_decay_rate: float = 1.0
-    precompute_augment: bool = True
+    # In-scan augmentation: after the rotation-once composition
+    # (ops/augment.py) the scan-body augmentation is both faster (no
+    # HBM-staged 59x8 batch materialization) and cheaper to compile than
+    # the precompute pre-pass — measured 0.98 s vs 1.35 s per 2-task
+    # 59-step adapt on v5e. precompute_augment=True remains available for
+    # memory-tight setups where the staged bf16 batches win.
+    precompute_augment: bool = False
     lr_scheduler: str = "fixed"
     lr_decay_rate: float = 0.5
     lr_decay_after_n_steps: int = 5
