@@ -71,7 +71,10 @@ def _convert_one(job) -> Optional[str]:
         return None
     if fmt == "tfrecord":
         out_path = os.path.join(out_dir, name + ".tfrecord.gzip")
-        tfrecord.write_segmentation_shard(out_path, images, masks)
+        # C++ writer when built (native/tfrecord_loader.cc), Python codec
+        # fallback — identical reference-format output either way.
+        from mliis_tpu.data import native_loader
+        native_loader.write_shard(out_path, images, masks)
     else:
         out_path = os.path.join(out_dir, name + ".npz")
         np.savez_compressed(out_path, images=images, masks=masks)

@@ -47,6 +47,21 @@ def _load_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
             lib.tl_read_shards_parallel.restype = ctypes.c_int
+            if hasattr(lib, "tl_write_shard"):
+                lib.tl_write_shard.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64]
+                lib.tl_write_shard.restype = ctypes.c_int
+                lib.tl_write_shards_parallel.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int]
+                lib.tl_write_shards_parallel.restype = ctypes.c_int
             _lib = lib
             break
     return _lib
@@ -106,3 +121,70 @@ def read_shards(paths: List[str], image_size: int, max_examples: int,
         raise IOError("native loader failed on {} shards: {}".format(
             n - ok, bad[:5]))
     return images, masks, counts
+
+
+def native_writer_available() -> bool:
+    lib = _load_library()
+    return lib is not None and hasattr(lib, "tl_write_shard")
+
+
+def write_shard(path: str, images: np.ndarray, masks: np.ndarray) -> None:
+    """Write one gzip TFRecord shard (reference format) via the C++ writer;
+    falls back to the pure-Python codec when the library lacks it."""
+    if not native_writer_available():
+        from mliis_tpu.data import tfrecord
+        tfrecord.write_segmentation_shard(path, images, masks)
+        return
+    lib = _load_library()
+    images = np.ascontiguousarray(images, np.uint8)
+    masks = np.ascontiguousarray(masks, np.uint8)
+    n = images.shape[0]
+    image_bytes = int(np.prod(images.shape[1:]))
+    mask_bytes = int(np.prod(masks.shape[1:]))
+    rc = lib.tl_write_shard(
+        path.encode(),
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, image_bytes, mask_bytes)
+    if rc != n:
+        raise IOError("native writer failed on {} (code {})".format(path, rc))
+
+
+def write_shards(paths: List[str], images: np.ndarray, masks: np.ndarray,
+                 offsets: np.ndarray, counts: np.ndarray,
+                 num_threads: int = 8) -> None:
+    """Write many shards from one flat example store in parallel.
+
+    images/masks: [N_total, ...] u8; shard i covers
+    [offsets[i], offsets[i]+counts[i])."""
+    if not native_writer_available():
+        from mliis_tpu.data import tfrecord
+        for i, path in enumerate(paths):
+            lo = int(offsets[i])
+            hi = lo + int(counts[i])
+            tfrecord.write_segmentation_shard(path, images[lo:hi],
+                                              masks[lo:hi])
+        return
+    lib = _load_library()
+    images = np.ascontiguousarray(images, np.uint8)
+    masks = np.ascontiguousarray(masks, np.uint8)
+    n = len(paths)
+    image_bytes = int(np.prod(images.shape[1:]))
+    mask_bytes = int(np.prod(masks.shape[1:]))
+    offsets64 = np.ascontiguousarray(offsets, np.int64)
+    counts32 = np.ascontiguousarray(counts, np.int32)
+    results = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    ok = lib.tl_write_shards_parallel(
+        c_paths, n,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        image_bytes, mask_bytes,
+        results.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), num_threads)
+    if ok != n:
+        bad = [(paths[i], int(results[i])) for i in range(n)
+               if results[i] < 0]
+        raise IOError("native writer failed on {} shards: {}".format(
+            n - ok, bad[:5]))

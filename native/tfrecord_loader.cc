@@ -18,6 +18,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -228,6 +229,137 @@ int ReadShardInternal(const char* path, uint8_t* image_out, uint8_t* mask_out,
   return static_cast<int>(count);
 }
 
+// ---------------------------------------------------------------------------
+// Shard WRITER: tf.train.Example encoding + TFRecord framing with masked
+// CRC32C (the reference's TF readers verify CRCs, so the writer computes
+// them even though this library's reader skips verification).
+// ---------------------------------------------------------------------------
+
+uint32_t Crc32c(const uint8_t* data, size_t size) {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t crc = i;
+      for (int k = 0; k < 8; ++k) {
+        crc = (crc & 1) ? (crc >> 1) ^ 0x82F63B78u : crc >> 1;
+      }
+      table[i] = crc;
+    }
+    init = true;
+  }
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t i = 0; i < size; ++i) {
+    crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  }
+  return crc ^ 0xFFFFFFFFu;
+}
+
+uint32_t MaskedCrc(const uint8_t* data, size_t size) {
+  uint32_t crc = Crc32c(data, size);
+  return ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+}
+
+void AppendVarint(std::vector<uint8_t>* out, uint64_t value) {
+  while (true) {
+    uint8_t byte = value & 0x7F;
+    value >>= 7;
+    if (value) {
+      out->push_back(byte | 0x80);
+    } else {
+      out->push_back(byte);
+      return;
+    }
+  }
+}
+
+void AppendTag(std::vector<uint8_t>* out, uint32_t field, uint32_t wire) {
+  AppendVarint(out, (field << 3) | wire);
+}
+
+void AppendLengthDelimited(std::vector<uint8_t>* out, uint32_t field,
+                           const uint8_t* data, size_t size) {
+  AppendTag(out, field, 2);
+  AppendVarint(out, size);
+  out->insert(out->end(), data, data + size);
+}
+
+size_t VarintSize(uint64_t value) {
+  size_t n = 1;
+  while (value >= 0x80) {
+    value >>= 7;
+    ++n;
+  }
+  return n;
+}
+
+// One named BytesList feature map entry: Features.feature { key, value }.
+void AppendFeatureEntry(std::vector<uint8_t>* out, const char* name,
+                        const uint8_t* data, size_t size) {
+  size_t name_len = std::strlen(name);
+  // Sizes inside-out: BytesList.value -> Feature.bytes_list -> map value.
+  size_t bytes_list = 1 + VarintSize(size) + size;
+  size_t feature = 1 + VarintSize(bytes_list) + bytes_list;
+  size_t entry = (1 + VarintSize(name_len) + name_len) +
+                 (1 + VarintSize(feature) + feature);
+  AppendTag(out, 1, 2);  // Features.feature (map entry)
+  AppendVarint(out, entry);
+  AppendLengthDelimited(out, 1, reinterpret_cast<const uint8_t*>(name),
+                        name_len);                       // key
+  AppendTag(out, 2, 2);                                  // value: Feature
+  AppendVarint(out, feature);
+  AppendTag(out, 1, 2);                                  // Feature.bytes_list
+  AppendVarint(out, bytes_list);
+  AppendLengthDelimited(out, 1, data, size);             // BytesList.value
+}
+
+// Example{features{image, mask}} in the Python codec's field order.
+void EncodeExample(const uint8_t* image, size_t image_bytes,
+                   const uint8_t* mask, size_t mask_bytes,
+                   std::vector<uint8_t>* out) {
+  std::vector<uint8_t> features;
+  AppendFeatureEntry(&features, "image", image, image_bytes);
+  AppendFeatureEntry(&features, "mask", mask, mask_bytes);
+  out->clear();
+  AppendLengthDelimited(out, 1, features.data(), features.size());
+}
+
+int WriteShardInternal(const char* path, const uint8_t* image_in,
+                       const uint8_t* mask_in, int64_t count,
+                       int64_t image_bytes, int64_t mask_bytes) {
+  std::vector<uint8_t> framed;
+  std::vector<uint8_t> record;
+  for (int64_t i = 0; i < count; ++i) {
+    EncodeExample(image_in + i * image_bytes, image_bytes,
+                  mask_in + i * mask_bytes, mask_bytes, &record);
+    uint8_t header[12];
+    uint64_t length = record.size();
+    std::memcpy(header, &length, 8);
+    uint32_t len_crc = MaskedCrc(header, 8);
+    std::memcpy(header + 8, &len_crc, 4);
+    framed.insert(framed.end(), header, header + 12);
+    framed.insert(framed.end(), record.begin(), record.end());
+    uint32_t data_crc = MaskedCrc(record.data(), record.size());
+    uint8_t footer[4];
+    std::memcpy(footer, &data_crc, 4);
+    framed.insert(framed.end(), footer, footer + 4);
+  }
+  gzFile f = gzopen(path, "wb");
+  if (f == nullptr) return -1;
+  size_t written = 0;
+  while (written < framed.size()) {
+    unsigned chunk = static_cast<unsigned>(
+        std::min<size_t>(framed.size() - written, 1u << 28));
+    int n = gzwrite(f, framed.data() + written, chunk);
+    if (n <= 0) {
+      gzclose(f);
+      return -2;
+    }
+    written += n;
+  }
+  return gzclose(f) == Z_OK ? static_cast<int>(count) : -2;
+}
+
 }  // namespace
 
 extern "C" {
@@ -282,6 +414,51 @@ int tl_read_shards_parallel(const char** paths, int num_shards,
   int ok = 0;
   for (int i = 0; i < num_shards; ++i) {
     counts_out[i] = results[i];
+    if (results[i] >= 0) ++ok;
+  }
+  return ok;
+}
+
+// Writes `count` (image, mask) pairs as a gzip TFRecord shard of
+// tf.train.Examples. Returns examples written, or < 0 on error.
+int tl_write_shard(const char* path, const uint8_t* image_in,
+                   const uint8_t* mask_in, int64_t count,
+                   int64_t image_bytes, int64_t mask_bytes) {
+  return WriteShardInternal(path, image_in, mask_in, count, image_bytes,
+                            mask_bytes);
+}
+
+// Writes shard i from image_in + offsets_in[i]*image_bytes with
+// counts_in[i] examples; results_out[i] receives the per-shard result.
+// Returns the number of shards successfully written.
+int tl_write_shards_parallel(const char** paths, int num_shards,
+                             const uint8_t* image_in, const uint8_t* mask_in,
+                             const int64_t* offsets_in,
+                             const int32_t* counts_in, int64_t image_bytes,
+                             int64_t mask_bytes, int32_t* results_out,
+                             int num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  std::vector<std::thread> workers;
+  std::vector<int> results(num_shards, 0);
+  int per_thread = (num_shards + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    int begin = t * per_thread;
+    int end = begin + per_thread < num_shards ? begin + per_thread
+                                              : num_shards;
+    if (begin >= end) break;
+    workers.emplace_back([=, &results]() {
+      for (int i = begin; i < end; ++i) {
+        results[i] = WriteShardInternal(
+            paths[i], image_in + offsets_in[i] * image_bytes,
+            mask_in + offsets_in[i] * mask_bytes, counts_in[i], image_bytes,
+            mask_bytes);
+      }
+    });
+  }
+  for (std::thread& w : workers) w.join();
+  int ok = 0;
+  for (int i = 0; i < num_shards; ++i) {
+    results_out[i] = results[i];
     if (results[i] >= 0) ++ok;
   }
   return ok;
