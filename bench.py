@@ -102,10 +102,11 @@ def main():
     cfg = MetaTrainConfig(num_shots=10, inner_batch_size=inner_batch,
                           inner_iters=inner_iters, meta_batch_size=meta_batch,
                           foml=True, tail_shots=5, aug_rate=0.5)
-    # 5 full 224px inner loops exceed one v5e chip's HBM; the meta-batch is
-    # processed in task groups of 2 with host-side linear combination (the
-    # outer update is linear in per-task results) — on a real v5e-8 the 5
-    # tasks shard across chips instead (parallel/mesh.py).
+    # The meta-batch runs in task groups with host-side linear combination
+    # (the outer update is linear in per-task results) — on a real v5e-8 the
+    # 5 tasks shard across chips instead (parallel/mesh.py). Group-size
+    # sweep on v5e (no remat, in-scan aug): 2+2+1 -> 2.70 s/meta-step,
+    # 3+2 -> 2.77, 5-in-one-launch -> 2.85 (HBM pressure): groups of 2 win.
     train_step = make_microbatched_train_step(model, loss_cfg, opt_cfg, cfg,
                                               n_max=10, group_size=2)
     imgs = jnp.asarray(store.images)
