@@ -135,6 +135,11 @@ def main(argv=None):
     eval_lr = None  # None -> model default LR (placeholder-default parity)
     eval_inner_iters = args.eval_iters
 
+    mesh = None
+    if args.mesh_tasks:
+        from mliis_tpu.parallel.mesh import make_task_mesh
+        mesh = make_task_mesh(args.mesh_tasks)
+
     if args.optimize_update_hyperparms_on_val_set:
         print("Optimizing the update routine hyperparams on the val set")
         assert val_store is not None and val_store.num_tasks > 0
@@ -142,7 +147,7 @@ def main(argv=None):
             model, loss_cfg, opt_cfg, val_store, num_shots=args.shots,
             replacement=args.replacement, augment=args.augment,
             weight_decay_rate=args.weight_decay,
-            task_chunk_size=args.task_chunk_size)
+            task_chunk_size=args.task_chunk_size, mesh=mesh)
         key, uho_key = jax.random.split(key)
         estimated_lr, estimated_steps = optimize_update_hyperparams(
             es_eval, state, uho_key, min_steps=args.min_steps,
@@ -209,11 +214,6 @@ def main(argv=None):
     lr = eval_lr if eval_lr is not None else args.learning_rate
     eval_cfg = args_lib.eval_config(args, inner_iters=eval_inner_iters)
     drop_rate = args.final_layer_dropout_rate or None
-
-    mesh = None
-    if args.mesh_tasks:
-        from mliis_tpu.parallel.mesh import make_task_mesh
-        mesh = make_task_mesh(args.mesh_tasks)
 
     print('Evaluating {}-shot learning on training tasks.'.format(args.shots))
     mean_train_iou = float("nan")

@@ -38,7 +38,7 @@ class EarlyStoppingEvaluator:
                  num_shots: int = 5, test_shots: int = 5,
                  replacement: bool = False, augment: bool = True,
                  weight_decay_rate: float = 1.0, patience: int = 50,
-                 task_chunk_size: int = 4):
+                 task_chunk_size: int = 4, mesh=None):
         self.model = model
         self.loss_config = loss_config
         self.opt_config = opt_config
@@ -49,6 +49,11 @@ class EarlyStoppingEvaluator:
         self.augment = augment
         self.weight_decay_rate = weight_decay_rate
         self.patience = patience
+        self.mesh = mesh
+        if mesh is not None:
+            from mliis_tpu.parallel.mesh import TASK_AXIS
+            n_dev = mesh.shape[TASK_AXIS]
+            task_chunk_size = -(-task_chunk_size // n_dev) * n_dev
         self.task_chunk_size = task_chunk_size
         from mliis_tpu.meta.evaluate import device_store_arrays
         self._images, self._masks, self._counts = device_store_arrays(store)
@@ -77,8 +82,21 @@ class EarlyStoppingEvaluator:
                             task_images[val], task_masks[val], k_trace, lr,
                             drop_rate, aug_rate)
 
-        return jax.jit(jax.vmap(per_task,
-                                in_axes=(None, 0, 0, 0, 0, None, None, None)))
+        vmapped = jax.vmap(per_task,
+                           in_axes=(None, 0, 0, 0, 0, None, None, None))
+        if self.mesh is not None:
+            # Chunk's task dim shards over the mesh "task" axis, like
+            # parallel.mesh.make_sharded_eval_chunk.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from mliis_tpu.parallel.mesh import TASK_AXIS
+            vmapped = shard_map(
+                vmapped, mesh=self.mesh,
+                in_specs=(P(), P(TASK_AXIS), P(TASK_AXIS), P(TASK_AXIS),
+                          P(TASK_AXIS), P(), P(), P()),
+                out_specs=P(TASK_AXIS),
+                check_vma=False)
+        return jax.jit(vmapped)
 
     def evaluate_with_early_stopping(
             self, state: ModelState, key, min_steps: int, max_steps: int,
@@ -135,7 +153,8 @@ class EarlyStoppingEvaluator:
                 weight_decay_rate=self.weight_decay_rate,
                 task_chunk_size=self.task_chunk_size)
             evaluator = GeckoEvaluator(self.model, self.loss_config,
-                                       self.opt_config, eval_cfg, self.store)
+                                       self.opt_config, eval_cfg, self.store,
+                                       mesh=self.mesh)
             key, sub = jax.random.split(key)
             per_task = evaluator.evaluate_tasks(state, indices, sub, lr,
                                                 drop_rate, aug_rate)

@@ -161,3 +161,32 @@ def test_optimize_update_hyperparams_driver(es_setup, tmp_path):
     assert 1 <= best_steps <= 4
     import glob
     assert glob.glob(str(tmp_path / "*.csv"))
+
+
+def test_early_stopping_mesh_matches_unsharded(es_setup):
+    """Mesh-sharded early-stopping traces must match the unsharded ones for
+    identical keys (same per-task kernel, tasks split across devices)."""
+    from mliis_tpu.data.synthetic import make_synthetic_store
+    from mliis_tpu.parallel.mesh import make_task_mesh
+    ev, state = es_setup
+    store = make_synthetic_store(num_tasks=4, examples_per_task=10,
+                                 image_size=IMG, seed=5)
+    plain = EarlyStoppingEvaluator(ev.model, ev.loss_config, ev.opt_config,
+                                   store, num_shots=5, test_shots=5,
+                                   augment=False, patience=3,
+                                   task_chunk_size=4)
+    meshed = EarlyStoppingEvaluator(ev.model, ev.loss_config, ev.opt_config,
+                                    store, num_shots=5, test_shots=5,
+                                    augment=False, patience=3,
+                                    task_chunk_size=4,
+                                    mesh=make_task_mesh(4))
+    assert meshed.task_chunk_size == 4
+    a = plain.evaluate_with_early_stopping(
+        state, jax.random.PRNGKey(9), min_steps=1, max_steps=6,
+        inner_batch_size=4, lr=0.02, eval_all_tasks=True)
+    b = meshed.evaluate_with_early_stopping(
+        state, jax.random.PRNGKey(9), min_steps=1, max_steps=6,
+        inner_batch_size=4, lr=0.02, eval_all_tasks=True)
+    assert a[0] == b[0]
+    assert a[1] == b[1]
+    np.testing.assert_allclose(a[2], b[2], atol=1e-5)
