@@ -131,6 +131,9 @@ def argument_parser():
     add('--mesh_tasks', type=int, default=0,
         help='If > 0, shard eval/meta-batch over this many devices along a '
              '"task" mesh axis.')
+    add('--profile_dir', type=str, default=None,
+        help='Capture a JAX profiler trace (TensorBoard-viewable, includes '
+             'XLA/TPU timelines) of the whole run into this directory.')
     return parser
 
 

@@ -64,6 +64,14 @@ def main(argv=None):
     args = args_lib.argument_parser().parse_args(argv)
     from mliis_tpu.utils.cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
+    if args.profile_dir:
+        from mliis_tpu.utils.profiling import trace
+        with trace(args.profile_dir):
+            return _main_impl(args, start_time)
+    return _main_impl(args, start_time)
+
+
+def _main_impl(args, start_time):
 
     if args.optimize_update_hyperparms_on_val_set:
         assert args.num_val_tasks > 0, \

@@ -150,3 +150,27 @@ def test_phase_timer(tmp_path):
     out = str(tmp_path / "phases.jsonl")
     t.dump(out, log_fn=lambda *a: None)
     assert os.path.exists(out)
+
+
+# ---------------- profiling ----------------
+
+def test_trace_and_phase_timer(tmp_path):
+    from mliis_tpu.utils.profiling import PhaseTimer, trace
+    log_dir = str(tmp_path / "trace")
+    with trace(log_dir):
+        x = jnp.ones((32, 32))
+        jax.block_until_ready(x @ x)
+    # jax profiler writes plugin event files under the dir
+    found = []
+    for root, _, files in os.walk(log_dir):
+        found.extend(files)
+    assert found, "profiler trace wrote no files"
+
+    timer = PhaseTimer()
+    with timer.phase("work"):
+        pass
+    summary = timer.summary()
+    assert summary["work"]["count"] == 1
+    out = str(tmp_path / "timings.jsonl")
+    timer.dump(out, log_fn=lambda *a: None)
+    assert os.path.exists(out)
