@@ -140,3 +140,39 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sync_bn_matches_full_batch():
+    """bn_axis_name sync-BN: a batch sharded over a "data" mesh axis must
+    produce the same normalized output and updated moving stats as the
+    unsharded full batch (the cross_replica_sum parity, utils.py:96-134)."""
+    import flax.linen as nn_
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    from mliis_tpu.models.layers import BatchNorm
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 3)) * 3.0 + 1.0
+
+    plain = BatchNorm()
+    sync = BatchNorm(axis_name="data")
+    variables = plain.init(jax.random.PRNGKey(1), x,
+                           use_running_average=False)
+
+    ref, ref_mut = plain.apply(variables, x, use_running_average=False,
+                               mutable=["batch_stats"])
+
+    def shard_fn(v, xs):
+        out, mut = sync.apply(v, xs, use_running_average=False,
+                              mutable=["batch_stats"])
+        return out, mut
+
+    sharded = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data")), out_specs=(P("data"), P()),
+        check_vma=False))
+    out, mut = sharded(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mut),
+                    jax.tree_util.tree_leaves(ref_mut)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
