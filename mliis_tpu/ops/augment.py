@@ -189,6 +189,13 @@ def _shear(stacked, shifts, axis):
     no gathers or per-shift copies (a static-roll-sum formulation
     materialized 350+ full-size temps; a gather formulation ran ~3 ms per
     image)."""
+    if axis == 0:
+        # Shear rows by transposing and shearing columns, so every FFT runs
+        # along the same axis and XLA sees one transform layout for all
+        # three shears (neutral on measured step time; keeps the layout
+        # story uniform for the copy-reduction work in docs/PERF_NOTES.md).
+        return jnp.swapaxes(_shear(jnp.swapaxes(stacked, 0, 1), shifts,
+                                   axis=1), 0, 1)
     n = stacked.shape[axis]
     spectrum = jnp.fft.fft(stacked, axis=axis)
     k = jnp.fft.fftfreq(n) * n
