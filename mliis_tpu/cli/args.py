@@ -105,6 +105,9 @@ def argument_parser():
     add('--min_steps', type=int, default=0)
     add('--max_steps', type=int, default=80)
     add('--k_shot_iter_range', nargs='+', type=int, default=None)
+    add('--k_shot_k_range', nargs='+', type=int, default=None,
+        help='Override the k values for the k-shot learning-curve '
+             'experiment (default 1 5 10 50 100 200 400, eval.py:188).')
     add('--sample_foml_train_val_with_replacement', action='store_true')
     add('--aug_rate', type=float, default=0.5)
     add('--uho_results_csv_name', type=str,

@@ -208,13 +208,16 @@ def _main_impl(args, start_time):
 
     if args.run_k_shot_learning_curves_experiment:
         key, k_key = jax.random.split(key)
+        kshot_kwargs = {}
+        if args.k_shot_k_range:
+            kshot_kwargs["k_range"] = args.k_shot_k_range
         run_k_shot_learning_curves_experiment(
             model, loss_cfg, opt_cfg, state, test_store, k_key,
             num_samples=args.eval_samples,
             iter_range=args.k_shot_iter_range,
             eval_inner_batch_size=args.eval_batch,
             lr=eval_lr if eval_lr is not None else args.learning_rate,
-            aug_rate=args.aug_rate)
+            aug_rate=args.aug_rate, **kshot_kwargs)
         return
 
     # lr None means "model default" in the reference; our engine takes the

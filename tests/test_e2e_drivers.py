@@ -90,3 +90,27 @@ def test_joint_train_synthetic_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Finished training" in out
     assert os.path.exists(ckpt)
+
+
+def test_run_metasegnet_k_shot_experiment(tmp_path, capsys):
+    """Section 3.5 stack: --run_k_shot_learning_curves_experiment through
+    main() -> k-shot-results.csv rows."""
+    import os as _os
+    cwd = _os.getcwd()
+    _os.chdir(str(tmp_path))  # the experiment writes k-shot-results.csv here
+    try:
+        argv, ckpt = _meta_args(tmp_path, extra=[
+            "--run_k_shot_learning_curves_experiment",
+            "--k_shot_k_range", "2", "4",
+            "--k_shot_iter_range", "1", "2",
+        ])
+        run_metasegnet.main(argv)
+    finally:
+        _os.chdir(cwd)
+    out = capsys.readouterr().out
+    assert "-shot mIoU" in out
+    csv_path = os.path.join(str(tmp_path), "k-shot-results.csv")
+    assert os.path.exists(csv_path)
+    with open(csv_path) as f:
+        rows = f.readlines()
+    assert rows[0].strip() == "k,mIoU" and len(rows) > 1
