@@ -6,6 +6,16 @@ jnp function of (PRNG key, image, mask), shape-preserving and jit/vmap-safe,
 so per-sample augmentation fuses into the same XLA program as batch assembly
 and the inner-loop SGD steps — no host round-trips.
 
+Layout: the composition runs CHANNEL-PLANAR — image and mask stacked into
+one [C_img+C_msk, H, W] tensor with W as the minor (lane) axis for every
+operation (rolls and flips act on the last two dims; both FFT-shear axes are
+routed through the last axis with one explicit transpose pair). One layout
+across all six augmentation branches means XLA assigns a single layout to
+the augmented batch instead of re-laying it out around every stage — the
+per-scan-iteration copy storm measured at 25% of device time in round 2
+(docs/PERF_NOTES.md lever 1). The channel-last (key, image, mask) API is
+preserved as thin wrappers that stack/unstack at the composition boundary.
+
 Semantics match the reference's numpy functions:
   - images are float32 in [0, 255], masks are [H, W, C] one-hot with
     background in channel 0; the "background fill" for masks is [1, 0, ...];
@@ -38,30 +48,53 @@ NUM_AUG_FUNCS = 6
 _ROTATE_MODES = ("reflect", "constant", "mirror", "wrap")
 
 
-def _mask_background_fill(mask: jnp.ndarray) -> jnp.ndarray:
-    """One-hot background vector [1, 0, ...] broadcastable to mask."""
-    fill = jnp.zeros((mask.shape[-1],), mask.dtype).at[0].set(1.0)
-    return jnp.broadcast_to(fill, mask.shape)
+def _to_planar(image: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Stack channel-last (image, mask) into one planar [C_img+C_msk, H, W]."""
+    return jnp.concatenate([jnp.moveaxis(image, -1, 0),
+                            jnp.moveaxis(mask, -1, 0)], axis=0)
 
 
-def additive_gaussian_noise(key, image, mask, mean_sd: float = 5.1) -> Pair:
+def _from_planar(x: jnp.ndarray, c_img: int) -> Pair:
+    return jnp.moveaxis(x[:c_img], 0, -1), jnp.moveaxis(x[c_img:], 0, -1)
+
+
+def _bg_fill_vec(c_img: int, c_tot: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[C_msk] one-hot background vector [1, 0, ...] for the mask planes."""
+    return jnp.zeros((c_tot - c_img,), dtype).at[0].set(1.0)
+
+
+def _image_chan_mask(c_img: int, c_tot: int) -> jnp.ndarray:
+    """[C_tot, 1, 1] float 1.0 on image planes, 0.0 on mask planes."""
+    return (jnp.arange(c_tot) < c_img).astype(jnp.float32)[:, None, None]
+
+
+# --------------------------------------------------------------------------
+# Planar augmentation cores: f(key, x, c_img) -> x with x: [C, H, W].
+# Random-draw order matches the original channel-last implementations so a
+# given key produces the same decisions (gates, shifts, angles, modes).
+# --------------------------------------------------------------------------
+
+
+def _noise_planar(key, x, c_img, mean_sd: float = 5.1):
     k1, k2 = jax.random.split(key)
     sd = jnp.abs(mean_sd + jax.random.normal(k1, ()))
-    noise = sd * jax.random.normal(k2, image.shape)
-    return jnp.clip(image + noise, 0.0, 255.0), mask
+    noise = sd * jax.random.normal(k2, (c_img,) + x.shape[1:])
+    img = jnp.clip(x[:c_img] + noise, 0.0, 255.0)
+    return jnp.concatenate([img, x[c_img:]], axis=0)
 
 
-def exposure(key, image, mask, mean_sd: float = 12.75) -> Pair:
+def _exposure_planar(key, x, c_img, mean_sd: float = 12.75):
     k1, k2 = jax.random.split(key)
     sd = jnp.abs(mean_sd + jax.random.normal(k1, ()))
     shift = sd * jax.random.normal(k2, ())
-    return jnp.clip(image + shift, 0.0, 255.0), mask
+    img = jnp.clip(x[:c_img] + shift, 0.0, 255.0)
+    return jnp.concatenate([img, x[c_img:]], axis=0)
 
 
-def random_eraser(key, image, mask, s_l: float = 0.02, s_h: float = 0.10,
-                  r_1: float = 0.3, r_2: float = 1.0 / 0.3,
-                  v_l: float = 0.0, v_h: float = 255.0) -> Pair:
-    img_h, img_w = image.shape[0], image.shape[1]
+def _eraser_planar(key, x, c_img, s_l: float = 0.02, s_h: float = 0.10,
+                   r_1: float = 0.3, r_2: float = 1.0 / 0.3,
+                   v_l: float = 0.0, v_h: float = 255.0):
+    c_tot, img_h, img_w = x.shape
     ks = jax.random.split(key, 5)
     s = jax.random.uniform(ks[0], (), minval=s_l, maxval=s_h) * img_h * img_w
     r = jax.random.uniform(ks[1], (), minval=r_1, maxval=r_2)
@@ -74,84 +107,75 @@ def random_eraser(key, image, mask, s_l: float = 0.02, s_h: float = 0.10,
     rows = jax.lax.broadcasted_iota(jnp.int32, (img_h, img_w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (img_h, img_w), 1)
     region = ((rows >= top) & (rows < top + h)
-              & (cols >= left) & (cols < left + w))[..., None]
-    image = jnp.where(region, c, image)
-    mask = jnp.where(region, _mask_background_fill(mask), mask)
-    return image, mask
+              & (cols >= left) & (cols < left + w))
+    fill = jnp.concatenate([jnp.full((c_img,), c, x.dtype),
+                            _bg_fill_vec(c_img, c_tot, x.dtype)])
+    return jnp.where(region[None], fill[:, None, None], x)
 
 
-def fliplr(key, image, mask) -> Pair:
-    del key
-    return image[:, ::-1, :], mask[:, ::-1, :]
+def _fliplr_planar(key, x, c_img):
+    del key, c_img
+    return x[..., ::-1]
 
 
-def _roll_dynamic(arr, shift, axis):
-    """Circular roll of [H, W, C] by a traced per-sample shift.
+def _roll_planar(x, shift, axis):
+    """Circular roll of planar [C, H, W] by a traced shift along spatial
+    `axis` (0 = H, 1 = W).
 
     Under vmap a dynamic-slice/jnp.roll with per-sample starts lowers to a
     gather, which is pathologically slow on TPU (measured ~5 s for 472
     images). A roll is a permutation, so it is expressed as a matmul with a
     permutation matrix built from iota comparisons — pure MXU work
-    (~30 GFLOP for the same batch, sub-millisecond).
+    (~30 GFLOP for a 472-image batch, sub-millisecond). Each output element
+    equals exactly one input element, so the f32 matmul is exact.
     """
-    n = arr.shape[axis]
+    n = x.shape[axis + 1]
     shift = jnp.mod(shift, n)
     i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     # out[i] = in[i - shift mod n]  ->  P[i, j] = (j == i - shift)
-    compute_dtype = arr.dtype if jnp.issubdtype(arr.dtype, jnp.floating) \
-        else jnp.float32
-    perm = (jnp.mod(i - shift, n) == j).astype(compute_dtype)
-    moved = jnp.moveaxis(arr, axis, 0)
-    flat = moved.reshape(n, -1).astype(compute_dtype)
-    out = jnp.dot(perm, flat, preferred_element_type=compute_dtype)
-    out = jnp.moveaxis(out.reshape(moved.shape), 0, axis)
-    if out.dtype != arr.dtype:
-        out = jnp.round(out).astype(arr.dtype)
-    return out
+    perm = (jnp.mod(i - shift, n) == j).astype(x.dtype)
+    if axis == 0:
+        return jnp.einsum("ij,cjw->ciw", perm, x,
+                          preferred_element_type=x.dtype)
+    return jnp.einsum("chj,ij->chi", x, perm,
+                      preferred_element_type=x.dtype)
 
 
-def _shift_along_axis(key, arr, axis, shift, roll, fill):
-    """Roll `arr` by `shift` (traced, may be negative) along `axis`; when not
-    rolling, overwrite the wrapped-in stripe with `fill`."""
-    rolled = _roll_dynamic(arr, shift, axis)
-    idx = jax.lax.broadcasted_iota(jnp.int32, rolled.shape[:2], axis)[..., None]
-    size = arr.shape[axis]
+def _shift_planar(x, axis, shift, roll, fill_vec):
+    """Roll planar x by `shift` (traced, may be negative) along spatial
+    `axis`; when not rolling, overwrite the wrapped-in stripe with the
+    per-channel `fill_vec` [C]."""
+    rolled = _roll_planar(x, shift, axis)
+    h, w = x.shape[1], x.shape[2]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), axis)
+    size = x.shape[axis + 1]
     # shift > 0: stripe is [0, shift); shift < 0: stripe is [size+shift, size).
     stripe = jnp.where(shift >= 0, idx < shift, idx >= size + shift)
-    filled = jnp.where(stripe, fill, rolled)
+    filled = jnp.where(stripe[None], fill_vec[:, None, None], rolled)
     return jnp.where(roll, rolled, filled)
 
 
-def translate(key, image, mask, max_shift: int = 23) -> Pair:
+def _translate_planar(key, x, c_img, max_shift: int = 23):
+    c_tot = x.shape[0]
     ks = jax.random.split(key, 5)
     vert = jax.random.bernoulli(ks[0])
     direction = jax.random.bernoulli(ks[1])
     shift = jax.random.randint(ks[2], (), 1, max_shift + 1)
     shift = jnp.where(direction, shift, -shift)
     roll = jax.random.bernoulli(ks[3])
-    axis = jnp.where(vert, 0, 1)
 
-    img_fill = jnp.broadcast_to(
-        jax.random.uniform(ks[4], (image.shape[-1],), minval=0.0, maxval=255.0),
-        image.shape)
-    mask_fill = _mask_background_fill(mask)
+    img_fill = jax.random.uniform(ks[4], (c_img,), minval=0.0, maxval=255.0)
+    fill_vec = jnp.concatenate([img_fill, _bg_fill_vec(c_img, c_tot)])
 
-    def _do(ax):
-        img = _shift_along_axis(key, image, ax, shift, roll, img_fill)
-        msk = _shift_along_axis(key, mask, ax, shift, roll, mask_fill)
-        return img, msk
-
-    img0, msk0 = _do(0)
-    img1, msk1 = _do(1)
-    image = jnp.where(axis == 0, img0, img1)
-    mask = jnp.where(axis == 0, msk0, msk1)
-    return image, mask
+    x0 = _shift_planar(x, 0, shift, roll, fill_vec)
+    x1 = _shift_planar(x, 1, shift, roll, fill_vec)
+    return jnp.where(vert, x0, x1)
 
 
-def _rotation_coords(shape, angle_deg):
+def _rotation_coords(hw, angle_deg):
     """Input-space sampling coordinates for a rotation about the center."""
-    h, w = shape[0], shape[1]
+    h, w = hw
     theta = -angle_deg * jnp.pi / 180.0  # inverse mapping
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
@@ -177,54 +201,43 @@ def _fold_coords(c: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.ndarray:
     return folded
 
 
-# Toggle for the gather-free shear rotation (see _apply_rotation_shear).
+# Toggle for the gather-free shear rotation (see _rotate_shear_planar).
 FAST_ROTATE = True
 
 
-def _shear(stacked, shifts, axis):
-    """Inverse-sampling circular shear: out[.., p, ..] = in(p - shifts[q])
-    along `axis`, shifts varying along the other axis. Implemented as an
-    FFT phase shift — exact fractional translation per lane, a handful of
-    224-point FFTs (matmul-sized on TPU, ~0.1 ms for a 64-image batch) and
-    no gathers or per-shift copies (a static-roll-sum formulation
-    materialized 350+ full-size temps; a gather formulation ran ~3 ms per
-    image)."""
-    if axis == 0:
-        # Shear rows by transposing and shearing columns, so every FFT runs
-        # along the same axis and XLA sees one transform layout for all
-        # three shears (neutral on measured step time; keeps the layout
-        # story uniform for the copy-reduction work in docs/PERF_NOTES.md).
-        return jnp.swapaxes(_shear(jnp.swapaxes(stacked, 0, 1), shifts,
-                                   axis=1), 0, 1)
-    n = stacked.shape[axis]
-    spectrum = jnp.fft.fft(stacked, axis=axis)
-    k = jnp.fft.fftfreq(n) * n
-    shape = [1, 1, 1]
-    shape[axis] = n
-    k = k.reshape(shape)
-    other = 1 - axis
-    sshape = [1, 1, 1]
-    sshape[other] = shifts.shape[0]
-    s = shifts.reshape(sshape)
+def _shear_last_axis(x, shifts):
+    """Inverse-sampling circular shear along the LAST axis:
+    out[..., q, p] = in(..., q, p - shifts[q]). Implemented as an FFT phase
+    shift — exact fractional translation per lane, a handful of 224-point
+    FFTs (matmul-sized on TPU, ~0.1 ms for a 64-image batch) and no gathers
+    or per-shift copies (a static-roll-sum formulation materialized 350+
+    full-size temps; a gather formulation ran ~3 ms per image). Always
+    transforming the minor (lane) axis keeps every FFT in one layout; the
+    row-shear direction routes through an explicit swapaxes pair instead of
+    a second transform layout (docs/PERF_NOTES.md lever 1)."""
+    n = x.shape[-1]
+    spectrum = jnp.fft.fft(x, axis=-1)
+    k = (jnp.fft.fftfreq(n) * n).reshape((1,) * (x.ndim - 1) + (n,))
+    s = shifts.reshape((1,) * (x.ndim - 2) + (shifts.shape[0], 1))
     phase = jnp.exp((-2j * jnp.pi / n) * k * s)
-    return jnp.fft.ifft(spectrum * phase, axis=axis).real.astype(
-        stacked.dtype)
+    return jnp.fft.ifft(spectrum * phase, axis=-1).real.astype(x.dtype)
 
 
-def _apply_rotation_shear(image, mask, angle, mode_idx, fill_with_noise,
-                          const_cval, noise) -> Pair:
-    """Gather-free rotation: the Paeth 3-shear decomposition
-    R(a) = Sx(-tan(a/2)) Sy(sin a) Sx(-tan(a/2)), each shear a static-roll
-    sum (MXU/VPU work only). Valid for |angle| <= 45 (the reference's
-    range). Border semantics: constant mode is exact (out-of-bounds pixels
-    from the true rotation coords get cval/noise and the mask gets
-    background); the reflect/mirror/wrap modes all present wrap-style
-    borders here (the shears roll circularly) — a documented deviation
-    confined to the out-of-frame border bands of a random augmentation.
-    Masks ride through the bilinear shears and are snapped back to one-hot
-    (vs. the reference's order-0 resampling: boundary pixels may differ)."""
-    h, w = image.shape[0], image.shape[1]
-    c_img = image.shape[-1]
+def _rotate_shear_planar(x, c_img, angle, mode_idx, fill_with_noise,
+                         const_cval, noise):
+    """Gather-free rotation of planar [C, H, W]: the Paeth 3-shear
+    decomposition R(a) = Sx(-tan(a/2)) Sy(sin a) Sx(-tan(a/2)), each shear
+    an FFT phase shift along the lane axis (the column shear transposes the
+    spatial dims around the transform). Valid for |angle| <= 45 (the
+    reference's range). Border semantics: constant mode is exact
+    (out-of-bounds pixels from the true rotation coords get cval/noise and
+    the mask gets background); the reflect/mirror/wrap modes all present
+    wrap-style borders here (the shears roll circularly) — a documented
+    deviation confined to the out-of-frame border bands of a random
+    augmentation. Masks ride through the bilinear shears and are snapped
+    back to one-hot (vs. the reference's order-0 resampling: boundary pixels
+    may differ). `noise` is planar [c_img, H, W]."""
+    c_tot, h, w = x.shape
     theta = -angle * jnp.pi / 180.0  # match _apply_rotation's convention
     alpha = -jnp.tan(theta / 2.0)
     beta = jnp.sin(theta)
@@ -233,66 +246,49 @@ def _apply_rotation_shear(image, mask, angle, mode_idx, fill_with_noise,
     rows = (jax.lax.broadcasted_iota(jnp.float32, (h, 1), 0) - cy)[:, 0]
     cols = (jax.lax.broadcasted_iota(jnp.float32, (w, 1), 0) - cx)[:, 0]
 
-    stacked = jnp.concatenate([image, mask], axis=-1)
-    stacked = _shear(stacked, alpha * rows, axis=1)
-    stacked = _shear(stacked, beta * cols, axis=0)
-    stacked = _shear(stacked, alpha * rows, axis=1)
+    x = _shear_last_axis(x, alpha * rows)
+    x = jnp.swapaxes(_shear_last_axis(jnp.swapaxes(x, -1, -2), beta * cols),
+                     -1, -2)
+    x = _shear_last_axis(x, alpha * rows)
 
-    img = stacked[..., :c_img]
-    msk = stacked[..., c_img:]
-    # Snap the mask back to one-hot (argmax over channels).
-    fg = (msk[..., 1:] >= msk[..., :1]).astype(msk.dtype) \
-        if msk.shape[-1] == 2 else None
-    if fg is not None:
-        msk = jnp.concatenate([1.0 - fg, fg], axis=-1)
+    # Snap the mask planes back to one-hot (2-channel argmax).
+    if c_tot - c_img == 2:
+        fg = (x[c_img + 1] >= x[c_img]).astype(x.dtype)
+        x = jnp.concatenate([x[:c_img], (1.0 - fg)[None], fg[None]], axis=0)
 
     # Out-of-bounds region from the exact rotation coordinates.
-    src_y, src_x = _rotation_coords(image.shape, angle)
+    src_y, src_x = _rotation_coords((h, w), angle)
     oob = ((src_y < -0.5) | (src_y > h - 0.5)
-           | (src_x < -0.5) | (src_x > w - 0.5))[..., None]
+           | (src_x < -0.5) | (src_x > w - 0.5))
     is_constant = mode_idx == 1
     cval_img = jnp.where(fill_with_noise, noise,
-                         jnp.broadcast_to(const_cval, image.shape))
-    img = jnp.where(is_constant & oob, cval_img, img)
-    msk = jnp.where(is_constant & oob, _mask_background_fill(mask), msk)
-    return img, msk
+                         jnp.broadcast_to(const_cval, (c_img, h, w)))
+    fill = jnp.concatenate(
+        [cval_img, jnp.broadcast_to(
+            _bg_fill_vec(c_img, c_tot, x.dtype)[:, None, None],
+            (c_tot - c_img, h, w))], axis=0)
+    return jnp.where((is_constant & oob)[None], fill, x)
 
 
-def rotate_img_mask(key, image, mask, max_angle: int = 45) -> Pair:
-    """Rotation with a random border mode.
+def _rotate_4tap_planar(x, c_img, angle, mode_idx, fill_with_noise,
+                        const_cval, noise):
+    """Deterministic 4-tap bilinear rotation of planar [C, H, W]
+    (mode_idx indexes _ROTATE_MODES; `noise` is planar [c_img, H, W]).
 
-    Implemented as a single fused 4-tap bilinear sampler over the stacked
-    image+mask channels with arithmetic coordinate folding per mode — ONE
-    shared index computation and 4 gathers total. (A naive per-mode
-    map_coordinates construction materializes ~24 full-size index tensors;
-    at the precomputed-augmentation batch widths this alone cost tens of GB
-    of XLA temps and was the eval-path OOM.)
+    A single fused bilinear sampler over the stacked image+mask channels
+    with arithmetic coordinate folding per mode — ONE shared index
+    computation and 4 gathers total. (A naive per-mode map_coordinates
+    construction materializes ~24 full-size index tensors; at the
+    precomputed-augmentation batch widths this alone cost tens of GB of XLA
+    temps and was the eval-path OOM.)
 
-    Image is sampled bilinearly (order-1 stand-in for scipy's order-3), the
-    mask with nearest-neighbor (order 0). Constant mode fills out-of-bounds
-    image pixels with a random constant or per-pixel noise and the mask with
-    background (np_augmenters.py:100-129).
+    Image channels are sampled bilinearly (order-1 stand-in for scipy's
+    order-3), mask channels with nearest-neighbor (order 0). Constant mode
+    fills out-of-bounds image pixels with a random constant or per-pixel
+    noise and the mask with background (np_augmenters.py:100-129).
     """
-    ks = jax.random.split(key, 4)
-    angle = jax.random.randint(ks[0], (), -max_angle, max_angle).astype(
-        jnp.float32)
-    mode_idx = jax.random.randint(ks[1], (), 0, len(_ROTATE_MODES))
-    fill_with_noise = jax.random.bernoulli(ks[2])
-    const_cval = jax.random.randint(ks[3], (), 0, 256).astype(jnp.float32)
-    noise = jax.random.randint(key, image.shape, 0, 256).astype(jnp.float32)
-    if FAST_ROTATE:
-        return _apply_rotation_shear(image, mask, angle, mode_idx,
-                                     fill_with_noise, const_cval, noise)
-    return _apply_rotation(image, mask, angle, mode_idx, fill_with_noise,
-                           const_cval, noise)
-
-
-def _apply_rotation(image, mask, angle, mode_idx, fill_with_noise,
-                    const_cval, noise) -> Pair:
-    """Deterministic rotation core (mode_idx indexes _ROTATE_MODES)."""
-    h, w = image.shape[0], image.shape[1]
-    c_img = image.shape[-1]
-    src_y, src_x = _rotation_coords(image.shape, angle)
+    c_tot, h, w = x.shape
+    src_y, src_x = _rotation_coords((h, w), angle)
     is_constant = mode_idx == 1
     fy = _fold_coords(src_y, h, mode_idx)
     fx = _fold_coords(src_x, w, mode_idx)
@@ -320,74 +316,181 @@ def _apply_rotation(image, mask, angle, mode_idx, fill_with_noise,
         (wy * wx * in_b(y0f + 1, x0f + 1), y1, x1),
     ]
 
-    stacked = jnp.concatenate([image, mask], axis=-1)  # [H, W, C_img+C_msk]
-    flat = stacked.reshape(h * w, -1)
+    flat = x.reshape(c_tot, h * w)
 
     sampled = 0.0
     weight_mass = 0.0
     tap_values = []
     for tap_w, yt, xt in taps:
-        vals = jnp.take(flat, (yt * w + xt).reshape(-1), axis=0).reshape(
-            h, w, -1)
+        vals = jnp.take(flat, (yt * w + xt).reshape(-1), axis=1).reshape(
+            c_tot, h, w)
         tap_values.append(vals)
-        sampled = sampled + tap_w[..., None] * vals
+        sampled = sampled + tap_w[None] * vals
         weight_mass = weight_mass + tap_w
 
     # Image: bilinear blend; in constant mode missing mass blends toward the
     # fill value (random constant, or a -256 sentinel for noise mode whose
     # fully-out pixels become per-pixel noise — reference semantics).
-    img_sampled = sampled[..., :c_img]
+    img_sampled = sampled[:c_img]
     cval_eff = jnp.where(fill_with_noise, -256.0, const_cval)
-    img = img_sampled + (1.0 - weight_mass)[..., None] * cval_eff
-    fully_out = (weight_mass <= 1e-6)[..., None]
+    img = img_sampled + (1.0 - weight_mass)[None] * cval_eff
+    fully_out = (weight_mass <= 1e-6)[None]
     img = jnp.where(fully_out & fill_with_noise, noise, img)
     img = jnp.where(is_constant, img, img_sampled)
 
     # Mask: nearest tap (order 0) — pick the tap with the largest weight.
     near = (wy >= 0.5).astype(jnp.int32) * 2 + (wx >= 0.5).astype(jnp.int32)
-    msk = tap_values[0][..., c_img:]
+    msk = tap_values[0][c_img:]
     for t in range(1, 4):
-        msk = jnp.where((near == t)[..., None], tap_values[t][..., c_img:],
-                        msk)
+        msk = jnp.where((near == t)[None], tap_values[t][c_img:], msk)
     # Constant mode: the nearest sample point out of bounds -> background.
     near_y = jnp.round(src_y)
     near_x = jnp.round(src_x)
     oob = ((near_y < 0) | (near_y > h - 1) | (near_x < 0)
-           | (near_x > w - 1))[..., None]
-    msk = jnp.where(is_constant & oob, _mask_background_fill(mask), msk)
-    return img, msk
+           | (near_x > w - 1))
+    bg = jnp.broadcast_to(_bg_fill_vec(c_img, c_tot, x.dtype)[:, None, None],
+                          (c_tot - c_img, h, w))
+    msk = jnp.where((is_constant & oob)[None], bg, msk)
+    return jnp.concatenate([img, msk], axis=0)
+
+
+def _rotate_planar(key, x, c_img, max_angle: int = 45):
+    """Rotation with a random border mode (planar core)."""
+    ks = jax.random.split(key, 4)
+    angle = jax.random.randint(ks[0], (), -max_angle, max_angle).astype(
+        jnp.float32)
+    mode_idx = jax.random.randint(ks[1], (), 0, len(_ROTATE_MODES))
+    fill_with_noise = jax.random.bernoulli(ks[2])
+    const_cval = jax.random.randint(ks[3], (), 0, 256).astype(jnp.float32)
+    noise = jax.random.randint(key, (c_img,) + x.shape[1:], 0, 256).astype(
+        jnp.float32)
+    if FAST_ROTATE:
+        return _rotate_shear_planar(x, c_img, angle, mode_idx,
+                                    fill_with_noise, const_cval, noise)
+    return _rotate_4tap_planar(x, c_img, angle, mode_idx, fill_with_noise,
+                               const_cval, noise)
+
+
+# --------------------------------------------------------------------------
+# Channel-last public API: thin wrappers around the planar cores.
+# --------------------------------------------------------------------------
+
+
+def _wrap_planar(core):
+    def fn(key, image, mask, **kwargs):
+        c_img = image.shape[-1]
+        x = core(key, _to_planar(image, mask), c_img, **kwargs)
+        return _from_planar(x, c_img)
+    return fn
+
+
+def additive_gaussian_noise(key, image, mask, mean_sd: float = 5.1) -> Pair:
+    return _wrap_planar(_noise_planar)(key, image, mask, mean_sd=mean_sd)
+
+
+def exposure(key, image, mask, mean_sd: float = 12.75) -> Pair:
+    return _wrap_planar(_exposure_planar)(key, image, mask, mean_sd=mean_sd)
+
+
+def random_eraser(key, image, mask, **kwargs) -> Pair:
+    return _wrap_planar(_eraser_planar)(key, image, mask, **kwargs)
+
+
+def fliplr(key, image, mask) -> Pair:
+    del key
+    return image[:, ::-1, :], mask[:, ::-1, :]
+
+
+def translate(key, image, mask, max_shift: int = 23) -> Pair:
+    return _wrap_planar(_translate_planar)(key, image, mask,
+                                           max_shift=max_shift)
+
+
+def rotate_img_mask(key, image, mask, max_angle: int = 45) -> Pair:
+    return _wrap_planar(_rotate_planar)(key, image, mask, max_angle=max_angle)
+
+
+def _apply_rotation(image, mask, angle, mode_idx, fill_with_noise,
+                    const_cval, noise) -> Pair:
+    """Deterministic 4-tap rotation core with channel-last tensors
+    (`noise` channel-last [H, W, C_img]); kept for tests and the
+    rotation-resampling parity experiments."""
+    c_img = image.shape[-1]
+    x = _rotate_4tap_planar(_to_planar(image, mask), c_img, angle, mode_idx,
+                            fill_with_noise, const_cval,
+                            jnp.moveaxis(noise, -1, 0))
+    return _from_planar(x, c_img)
+
+
+def _apply_rotation_shear(image, mask, angle, mode_idx, fill_with_noise,
+                          const_cval, noise) -> Pair:
+    """Shear-rotation core with channel-last tensors (`noise` channel-last);
+    kept for the rotation-resampling parity experiments."""
+    c_img = image.shape[-1]
+    x = _rotate_shear_planar(_to_planar(image, mask), c_img, angle, mode_idx,
+                             fill_with_noise, const_cval,
+                             jnp.moveaxis(noise, -1, 0))
+    return _from_planar(x, c_img)
+
+
+def _roll_dynamic(arr, shift, axis):
+    """Circular roll of channel-last [H, W, C] by a traced shift along a
+    spatial axis (0 or 1) — matmul with a permutation matrix (see
+    _roll_planar). Kept channel-last for the joint trainer's label rolls."""
+    compute_dtype = arr.dtype if jnp.issubdtype(arr.dtype, jnp.floating) \
+        else jnp.float32
+    squeeze = arr.ndim == 2
+    planar = arr[None] if squeeze else jnp.moveaxis(arr, -1, 0)
+    out = _roll_planar(planar.astype(compute_dtype), shift, axis)
+    out = out[0] if squeeze else jnp.moveaxis(out, 0, -1)
+    if out.dtype != arr.dtype:
+        out = jnp.round(out).astype(arr.dtype)
+    return out
 
 
 # Order mirrors the reference's cur_aug_funcs list (np_augmenters.py:132).
 AUG_FUNCS = (random_eraser, translate, fliplr, additive_gaussian_noise,
              exposure, rotate_img_mask)
 
+# Channel-last fn -> planar core, for compositions that keep the whole
+# random prefix in the planar layout.
+_PLANAR_CORES = {
+    random_eraser: _eraser_planar,
+    translate: _translate_planar,
+    fliplr: _fliplr_planar,
+    additive_gaussian_noise: _noise_planar,
+    exposure: _exposure_planar,
+    rotate_img_mask: _rotate_planar,
+}
 
-def _compose_stagewise(perm, num_to_apply, fn_keys, image, mask, aug_funcs):
-    """Direct stage loop: at stage s apply aug_funcs[perm[s]] if s < count.
+
+def _planar_cores_for(aug_funcs):
+    cores = [_PLANAR_CORES.get(f) for f in aug_funcs]
+    return cores if all(c is not None for c in cores) else None
+
+
+def _compose_stagewise_planar(perm, num_to_apply, fn_keys, x, c_img, cores):
+    """Direct stage loop on planar x: at stage s apply cores[perm[s]] if
+    s < count.
 
     Under vmap every lax.switch branch is computed for every sample at every
     stage — n_stages x n_funcs function evaluations per sample. Used only
     when the function list has no recognized expensive member."""
-    branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in aug_funcs]
+    branches = [lambda k, xx, f=f: f(k, xx, c_img) for f in cores]
     # The stage loop is UNROLLED (python for, static n) rather than a nested
     # lax.scan: a scan-inside-scan body makes XLA:TPU compile time scale
     # with the *outer* trip count / vmap width (measured: +3 s per outer
     # step), which blows past the remote-compile budget at 59-step inner
     # loops. Unrolled, the whole augmentation is a flat region.
-    aug_img, aug_msk = image, mask
-    for step in range(len(aug_funcs)):
-        new_img, new_msk = jax.lax.switch(perm[step], branches,
-                                          fn_keys[step], aug_img, aug_msk)
-        keep_new = step < num_to_apply
-        aug_img = jnp.where(keep_new, new_img, aug_img)
-        aug_msk = jnp.where(keep_new, new_msk, aug_msk)
-    return aug_img, aug_msk
+    for step in range(len(cores)):
+        new_x = jax.lax.switch(perm[step], branches, fn_keys[step], x)
+        x = jnp.where(step < num_to_apply, new_x, x)
+    return x
 
 
-def _compose_split_expensive(perm, num_to_apply, fn_keys, image, mask,
-                             aug_funcs, exp_idx: int):
-    """Composition with the expensive function evaluated ONCE.
+def _compose_split_expensive_planar(perm, num_to_apply, fn_keys, x, c_img,
+                                    cores, exp_idx: int):
+    """Composition with the expensive function evaluated ONCE (planar).
 
     A random prefix of a permutation applies each function at most once, so
     the sequence factors exactly as
@@ -397,18 +500,18 @@ def _compose_split_expensive(perm, num_to_apply, fn_keys, image, mask,
     slot), and the expensive branch is computed once behind a single
     jnp.where — 1 evaluation instead of n_stages. Bit-identical to
     _compose_stagewise for the same draws (asserted in tests): stage s still
-    applies aug_funcs[perm[s]] with fn_keys[s].
+    applies cores[perm[s]] with fn_keys[s].
 
     Measured on v5e at run.sh shapes: the 59-step adapt's augmentation
     overhead drops ~4x (rotation was ~6/7 of it)."""
-    n = len(aug_funcs)
-    cheap = [f for i, f in enumerate(aug_funcs) if i != exp_idx]
+    n = len(cores)
+    cheap = [f for i, f in enumerate(cores) if i != exp_idx]
 
-    def identity(k, im, mk):
+    def identity(k, xx):
         del k
-        return im, mk
+        return xx
 
-    branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in cheap]
+    branches = [lambda k, xx, f=f: f(k, xx, c_img) for f in cheap]
     branches.append(identity)
     identity_slot = len(cheap)
     # Map original function index -> cheap branch index (exp_idx unused).
@@ -423,20 +526,51 @@ def _compose_split_expensive(perm, num_to_apply, fn_keys, image, mask,
     exp_pos = jnp.argmax(perm == exp_idx)  # position of expensive in perm
     exp_applied = exp_pos < num_to_apply
 
-    def cheap_pass(img, msk, active_fn):
+    def cheap_pass(xx, active_fn):
         for step in range(n):
             applied = (step < num_to_apply) & active_fn(step)
             idx = jnp.where(applied, cheap_index_arr[perm[step]],
                             identity_slot)
-            img, msk = jax.lax.switch(idx, branches, fn_keys[step], img, msk)
-        return img, msk
+            xx = jax.lax.switch(idx, branches, fn_keys[step], xx)
+        return xx
 
-    img, msk = cheap_pass(image, mask, lambda s: s < exp_pos)
-    exp_img, exp_msk = aug_funcs[exp_idx](fn_keys[exp_pos], img, msk)
-    img = jnp.where(exp_applied, exp_img, img)
-    msk = jnp.where(exp_applied, exp_msk, msk)
-    img, msk = cheap_pass(img, msk, lambda s: s > exp_pos)
-    return img, msk
+    x = cheap_pass(x, lambda s: s < exp_pos)
+    exp_x = cores[exp_idx](fn_keys[exp_pos], x, c_img)
+    x = jnp.where(exp_applied, exp_x, x)
+    return cheap_pass(x, lambda s: s > exp_pos)
+
+
+def _compose_stagewise(perm, num_to_apply, fn_keys, image, mask, aug_funcs):
+    """Channel-last facade over the planar stage loop (falls back to a
+    channel-last switch for unregistered custom function lists)."""
+    cores = _planar_cores_for(aug_funcs)
+    c_img = image.shape[-1]
+    if cores is not None:
+        x = _compose_stagewise_planar(perm, num_to_apply, fn_keys,
+                                      _to_planar(image, mask), c_img, cores)
+        return _from_planar(x, c_img)
+    branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in aug_funcs]
+    aug_img, aug_msk = image, mask
+    for step in range(len(aug_funcs)):
+        new_img, new_msk = jax.lax.switch(perm[step], branches,
+                                          fn_keys[step], aug_img, aug_msk)
+        keep_new = step < num_to_apply
+        aug_img = jnp.where(keep_new, new_img, aug_img)
+        aug_msk = jnp.where(keep_new, new_msk, aug_msk)
+    return aug_img, aug_msk
+
+
+def _compose_split_expensive(perm, num_to_apply, fn_keys, image, mask,
+                             aug_funcs, exp_idx: int):
+    """Channel-last facade over the planar rotation-once composition."""
+    cores = _planar_cores_for(aug_funcs)
+    assert cores is not None, \
+        "split-expensive composition requires registered planar cores"
+    c_img = image.shape[-1]
+    x = _compose_split_expensive_planar(perm, num_to_apply, fn_keys,
+                                        _to_planar(image, mask), c_img,
+                                        cores, exp_idx)
+    return _from_planar(x, c_img)
 
 
 def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
@@ -459,14 +593,23 @@ def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
     num_to_apply = jax.random.randint(k_count, (), 1, n + 1)
     fn_keys = jax.random.split(k_fns, n)
 
-    if rotate_img_mask in aug_funcs:
-        exp_idx = list(aug_funcs).index(rotate_img_mask)
-        aug_img, aug_msk = _compose_split_expensive(
-            perm, num_to_apply, fn_keys, image, mask, aug_funcs, exp_idx)
-    else:
-        aug_img, aug_msk = _compose_stagewise(
-            perm, num_to_apply, fn_keys, image, mask, aug_funcs)
+    cores = _planar_cores_for(aug_funcs)
+    if cores is not None:
+        # Single planar region: one stack, the whole composition in the
+        # [C, H, W] layout, one unstack — including the skip gate.
+        c_img = image.shape[-1]
+        x = _to_planar(image, mask)
+        if rotate_img_mask in aug_funcs:
+            exp_idx = list(aug_funcs).index(rotate_img_mask)
+            aug_x = _compose_split_expensive_planar(
+                perm, num_to_apply, fn_keys, x, c_img, cores, exp_idx)
+        else:
+            aug_x = _compose_stagewise_planar(
+                perm, num_to_apply, fn_keys, x, c_img, cores)
+        return _from_planar(jnp.where(skip, x, aug_x), c_img)
 
+    aug_img, aug_msk = _compose_stagewise(
+        perm, num_to_apply, fn_keys, image, mask, aug_funcs)
     image = jnp.where(skip, image, aug_img)
     mask = jnp.where(skip, mask, aug_msk)
     return image, mask
