@@ -8,6 +8,14 @@ support examples (for k >= 10, first estimate the step count by early
 stopping on an 80/20 split of the support set, capped at 500 steps) and
 measure mIoU on 20 held-out query images; append (k, mIoU) rows to
 k-shot-results.csv.
+
+Compile economics: one compiled kernel serves every (task, repetition) that
+shares an episode shape. Evaluators are built over the FULL task store and
+cached by shape key — (num_shots, test_shots, inner_iters, inner_batch) for
+the adaptation kernel, (num_shots, test_shots) for the early-stopping trace
+— so the 7-point k-range x tasks x m-reps protocol costs at most one
+45-70 s remote compile per distinct shape instead of one per loop iteration
+(a per-iteration `jax.jit` was rebuilding kernels for every task).
 """
 import csv
 import os
@@ -25,6 +33,46 @@ DEFAULT_K_RANGE = [1, 5, 10, 50, 100, 200, 400]
 DEFAULT_ITER_RANGE = [1, 5, 10, 25, 50, 100, 200]
 
 
+class EvaluatorCache:
+    """Shape-keyed evaluator cache shared across the k-shot loops.
+
+    `constructions` counts evaluator builds (== distinct compiled-kernel
+    shapes); tests assert it stays constant as tasks x reps grow.
+    """
+
+    def __init__(self, model, loss_config: LossConfig,
+                 opt_config: OptimizerConfig, store: TaskStore):
+        self.model = model
+        self.loss_config = loss_config
+        self.opt_config = opt_config
+        self.store = store
+        self._gecko: Dict[EvalConfig, GeckoEvaluator] = {}
+        self._es: Dict[Tuple[int, int], EarlyStoppingEvaluator] = {}
+        self.constructions = 0
+
+    def gecko(self, config: EvalConfig) -> GeckoEvaluator:
+        ev = self._gecko.get(config)
+        if ev is None:
+            ev = GeckoEvaluator(self.model, self.loss_config,
+                                self.opt_config, config, self.store)
+            self._gecko[config] = ev
+            self.constructions += 1
+        return ev
+
+    def early_stopping(self, num_shots: int,
+                       test_shots: int) -> EarlyStoppingEvaluator:
+        key = (num_shots, test_shots)
+        ev = self._es.get(key)
+        if ev is None:
+            ev = EarlyStoppingEvaluator(
+                self.model, self.loss_config, self.opt_config, self.store,
+                num_shots=num_shots, test_shots=test_shots, augment=True,
+                task_chunk_size=1)
+            self._es[key] = ev
+            self.constructions += 1
+        return ev
+
+
 def evaluate_k_shot_range(model, loss_config: LossConfig,
                           opt_config: OptimizerConfig, state: ModelState,
                           task_store: TaskStore, task_index: int, key,
@@ -36,10 +84,12 @@ def evaluate_k_shot_range(model, loss_config: LossConfig,
                           early_stopping_min_val_samples: int = 5,
                           estimate_inner_iters_with_early_stopping: bool = True,
                           max_es_steps: int = 500,
+                          cache: Optional[EvaluatorCache] = None,
                           log_fn=print) -> List[float]:
     """mIoU for one task across the k-range."""
-    single = task_store.subset([task_index])
-    count = int(single.counts[0])
+    if cache is None:
+        cache = EvaluatorCache(model, loss_config, opt_config, task_store)
+    count = int(task_store.counts[task_index])
     test_samples = min(test_samples, max(count - 1, 1))
     mious = []
     for i, k in enumerate(k_range):
@@ -48,15 +98,13 @@ def evaluate_k_shot_range(model, loss_config: LossConfig,
         if (estimate_inner_iters_with_early_stopping
                 and k_eff >= early_stopping_min_val_samples * 2):
             val_shots = int(0.2 * k_eff)
-            es = EarlyStoppingEvaluator(
-                model, loss_config, opt_config, single,
-                num_shots=k_eff - val_shots, test_shots=val_shots,
-                augment=True, task_chunk_size=1)
+            es = cache.early_stopping(num_shots=k_eff - val_shots,
+                                      test_shots=val_shots)
             key, sub = jax.random.split(key)
             _, steps, _ = es.evaluate_with_early_stopping(
                 state, sub, min_steps=1, max_steps=max_es_steps,
                 inner_batch_size=inner_batch_size, lr=lr, aug_rate=aug_rate,
-                eval_all_tasks=True)
+                task_indices=[task_index])
             inner_iters = max(int(np.median(steps)), 1)
             log_fn("{}-shot: early stopping chose {} steps".format(
                 k, inner_iters))
@@ -64,10 +112,9 @@ def evaluate_k_shot_range(model, loss_config: LossConfig,
                               inner_batch_size=min(inner_batch_size, k_eff),
                               inner_iters=inner_iters, transductive=True,
                               augment=True, task_chunk_size=1)
-        evaluator = GeckoEvaluator(model, loss_config, opt_config, eval_cfg,
-                                   single)
+        evaluator = cache.gecko(eval_cfg)
         key, sub = jax.random.split(key)
-        per_task = evaluator.evaluate_tasks(state, [0], sub, lr,
+        per_task = evaluator.evaluate_tasks(state, [task_index], sub, lr,
                                             aug_rate=aug_rate)
         mious.append(float(per_task[0]))
         log_fn("{}-shot mIoU: {}".format(k, mious[-1]))
@@ -82,10 +129,13 @@ def run_k_shot_learning_curves_experiment(
         eval_inner_batch_size: int = 8, lr: float = 5e-4,
         aug_rate: float = 0.5, test_samples: int = 20,
         csv_outpath: Optional[str] = "k-shot-results.csv",
+        cache: Optional[EvaluatorCache] = None,
         log_fn=print) -> Tuple[List[int], List[float]]:
     """m repetitions x tasks x k-range; returns (ks, mIoUs) and appends CSV."""
     if iter_range is None:
         iter_range = DEFAULT_ITER_RANGE
+    if cache is None:
+        cache = EvaluatorCache(model, loss_config, opt_config, dataset)
     ks: List[int] = []
     results: List[float] = []
     for task_index in range(dataset.num_tasks):
@@ -96,7 +146,7 @@ def run_k_shot_learning_curves_experiment(
                 sub, k_range=k_range, iter_range=iter_range,
                 test_samples=test_samples,
                 inner_batch_size=eval_inner_batch_size, lr=lr,
-                aug_rate=aug_rate, log_fn=log_fn)
+                aug_rate=aug_rate, cache=cache, log_fn=log_fn)
             log_fn("k-shot results {}".format(dict(zip(k_range, res))))
             results.extend(res)
             ks.extend(k_range)

@@ -58,6 +58,11 @@ class EarlyStoppingEvaluator:
         from mliis_tpu.meta.evaluate import device_store_arrays
         self._images, self._masks, self._counts = device_store_arrays(store)
         self._n_max = store.images.shape[1]
+        # Median-step re-eval evaluators, keyed by their EvalConfig: the GP
+        # search calls evaluate_with_early_stopping once per sampled config,
+        # and rebuilding the (jitted) evaluator per call would recompile the
+        # same shapes (the estimated step count repeats across configs).
+        self._gecko_cache: Dict[EvalConfig, GeckoEvaluator] = {}
 
     @functools.lru_cache(maxsize=16)
     def _trace_kernel(self, max_steps: int, inner_batch_size: int):
@@ -105,13 +110,21 @@ class EarlyStoppingEvaluator:
             aug_rate: Optional[float] = 0.5, eval_all_tasks: bool = False,
             num_tasks_to_sample: int = 20,
             eval_tasks_with_median_early_stopping_iterations: bool = False,
-            rng: Optional[pyrandom.Random] = None
+            rng: Optional[pyrandom.Random] = None,
+            task_indices: Optional[List[int]] = None
             ) -> Tuple[List[str], List[int], List[float]]:
-        """Returns (task_names, best num steps per task, IoU scores)."""
-        indices = list(range(self.store.num_tasks))
-        if not eval_all_tasks:
-            (rng or pyrandom).shuffle(indices)
-            indices = indices[:num_tasks_to_sample]
+        """Returns (task_names, best num steps per task, IoU scores).
+
+        `task_indices` restricts the run to specific store rows (the k-shot
+        learning-curve path probes one task at a time while reusing this
+        evaluator's compiled kernels across tasks, meta/kshot.py)."""
+        if task_indices is not None:
+            indices = list(task_indices)
+        else:
+            indices = list(range(self.store.num_tasks))
+            if not eval_all_tasks:
+                (rng or pyrandom).shuffle(indices)
+                indices = indices[:num_tasks_to_sample]
         task_names = [self.store.names[i] for i in indices]
 
         if min_steps != max_steps:
@@ -152,9 +165,12 @@ class EarlyStoppingEvaluator:
                 replacement=self.replacement, augment=self.augment,
                 weight_decay_rate=self.weight_decay_rate,
                 task_chunk_size=self.task_chunk_size)
-            evaluator = GeckoEvaluator(self.model, self.loss_config,
-                                       self.opt_config, eval_cfg, self.store,
-                                       mesh=self.mesh)
+            evaluator = self._gecko_cache.get(eval_cfg)
+            if evaluator is None:
+                evaluator = GeckoEvaluator(self.model, self.loss_config,
+                                           self.opt_config, eval_cfg,
+                                           self.store, mesh=self.mesh)
+                self._gecko_cache[eval_cfg] = evaluator
             key, sub = jax.random.split(key)
             per_task = evaluator.evaluate_tasks(state, indices, sub, lr,
                                                 drop_rate, aug_rate)

@@ -88,6 +88,33 @@ def test_k_shot_learning_curves(tmp_path):
     assert lines[0] == "k,mIoU" and len(lines) == 5
 
 
+def test_kshot_evaluator_cache_constant_across_tasks_and_reps():
+    """Compile de-churn: kernel/evaluator construction count must not grow
+    with tasks x repetitions — only with distinct episode shapes."""
+    from mliis_tpu.meta.kshot import EvaluatorCache, evaluate_k_shot_range
+    store = make_synthetic_store(num_tasks=3, examples_per_task=10,
+                                 image_size=IMG)
+    model = TinySeg()
+    opt_cfg = OptimizerConfig("sgd")
+    loss_cfg = LossConfig(l2=False)
+    state = init_model_state(model, jax.random.PRNGKey(0), IMG, opt_cfg)
+    cache = EvaluatorCache(model, loss_cfg, opt_cfg, store)
+    kwargs = dict(k_range=[1, 4], iter_range=[1, 2], test_samples=4,
+                  inner_batch_size=2, lr=0.01, cache=cache,
+                  log_fn=lambda *a: None)
+    evaluate_k_shot_range(model, loss_cfg, opt_cfg, state, store, 0,
+                          jax.random.PRNGKey(1), **kwargs)
+    first = cache.constructions
+    assert first > 0
+    # Two more tasks and a repeat of task 0: same shapes, zero new builds.
+    for i, seed in [(1, 2), (2, 3), (0, 4)]:
+        evaluate_k_shot_range(model, loss_cfg, opt_cfg, state, store, i,
+                              jax.random.PRNGKey(seed), **kwargs)
+    assert cache.constructions == first
+    # The early-stopping evaluator dedups by (num_shots, test_shots) too.
+    assert cache.early_stopping(8, 2) is cache.early_stopping(8, 2)
+
+
 def test_joint_trainer_pallas_augment_path(tmp_path):
     """--pallas_augment on: the joint path's augmentation runs through
     ops/pallas_augment.fused_light_augment (interpret mode off-TPU)."""
