@@ -52,6 +52,10 @@ def parse_args(argv=None):
     add('--synthetic_tasks', type=int, default=8)
     add('--pallas_augment', choices=['auto', 'on', 'off'], default='auto',
         help='Fused Pallas augmentation kernel (auto = on for TPU backends).')
+    add('--mesh_data', type=int, default=0,
+        help='If > 0, shard the batch over this many devices along a "data" '
+             'mesh axis with cross-device sync-BN (the TPU-native '
+             'TpuBatchNormalization, utils.py:96-134).')
     return parser.parse_args(argv)
 
 
@@ -92,12 +96,19 @@ def main(argv=None):
     print("building dataset with labels with {} mask channels".format(
         num_classes + 1))
 
+    mesh = None
+    bn_axis = None
+    if args.mesh_data:
+        from mliis_tpu.parallel.mesh import DATA_AXIS, make_data_mesh
+        mesh = make_data_mesh(args.mesh_data)
+        bn_axis = DATA_AXIS
     model = EfficientLab(
         n_classes=num_classes,
         separate_background_channel=True,
         feature_extractor_name=args.feature_extractor_name,
         rsd=tuple(args.rsd) if args.rsd else None,
-        final_layer_dropout_rate=args.final_layer_dropout_rate)
+        final_layer_dropout_rate=args.final_layer_dropout_rate,
+        bn_axis_name=bn_axis)
     opt_cfg = OptimizerConfig(name="sgd" if args.sgd else "adam")
     state = init_model_state(model, jax.random.PRNGKey(args.seed),
                              args.image_size, opt_cfg)
@@ -116,7 +127,8 @@ def main(argv=None):
         val_batches=args.val_batches,
         use_pallas_augment={'auto': None, 'on': True,
                             'off': False}[args.pallas_augment])
-    trainer = JointTrainer(model, train_ds, test_ds, config, opt_cfg)
+    trainer = JointTrainer(model, train_ds, test_ds, config, opt_cfg,
+                           mesh=mesh)
     trainer.train(state, args.checkpoint, jax.random.PRNGKey(args.seed + 1))
 
     print("Finished training")

@@ -149,14 +149,30 @@ class JointTrainConfig:
 
 
 class JointTrainer:
+    """Single-device or data-parallel joint trainer.
+
+    With `mesh` (a jax.sharding.Mesh with a "data" axis,
+    parallel.mesh.make_data_mesh) the batch dimension shards across the mesh
+    via shard_map: each device augments and forward/backwards its local
+    shard, gradients are pmean'd over the axis, and BatchNorm moments sync
+    across devices through the model's `bn_axis_name="data"` (the TPU-native
+    form of the reference's TpuBatchNormalization cross_replica_sum,
+    /root/reference/models/efficientnet/utils.py:96-134 — its only
+    distributed-communication code). With sync-BN the sharded step is
+    numerically identical to the unsharded full-batch step (up to reduction
+    order); parity is asserted in tests/test_parallel.py.
+    """
+
     def __init__(self, model, dataset: JointDataset, val_dataset: JointDataset,
                  config: JointTrainConfig,
-                 opt_config: OptimizerConfig = OptimizerConfig("sgd")):
+                 opt_config: OptimizerConfig = OptimizerConfig("sgd"),
+                 mesh=None):
         self.model = model
         self.config = config
         self.opt_config = opt_config
         self.dataset = dataset
         self.val_dataset = val_dataset
+        self.mesh = mesh
         self._images = jnp.asarray(dataset.images)
         self._labels = jnp.asarray(dataset.labels)
         self._val_images = jnp.asarray(val_dataset.images)
@@ -166,8 +182,11 @@ class JointTrainer:
                             else config.use_pallas_augment)
         # Off-TPU the kernel runs in Pallas interpret mode (tests/CI).
         self._pallas_interpret = not on_tpu
-        self._train_launch = jax.jit(self._make_train_launch(),
-                                     donate_argnums=(0,))
+        if mesh is not None:
+            self._train_launch = self._make_sharded_train_launch(mesh)
+        else:
+            self._train_launch = jax.jit(self._make_train_launch(),
+                                         donate_argnums=(0,))
         self._val_step = jax.jit(self._make_val_step())
 
     def _loss(self, params, batch_stats, images, labels, key):
@@ -181,46 +200,112 @@ class JointTrainer:
             loss = loss + l2_term(params)
         return loss, mutated["batch_stats"]
 
-    def _make_train_launch(self):
+    def _make_step_fn(self, axis_name: Optional[str] = None):
+        """One SGD step on one (possibly local-shard) batch.
+
+        `sample_offset` is the global batch position of this shard's first
+        sample: per-sample augmentation keys derive from the GLOBAL sample
+        index, so the sharded step draws exactly the augmentations the
+        unsharded full-batch step would."""
         grad_fn = jax.value_and_grad(self._loss, has_aux=True)
         cfg = self.config
 
+        def step_fn(st: ModelState, idx, key, lr, images_store, labels_store,
+                    sample_offset):
+            k_aug, k_drop = jax.random.split(key)
+            images = images_store[idx].astype(jnp.float32)
+            labels = labels_store[idx]
+            if cfg.augment and self._use_pallas:
+                import contextlib
+                from jax.experimental.pallas import tpu as pltpu
+                from mliis_tpu.ops.pallas_augment import \
+                    fused_light_augment
+                k_seed = (jax.random.fold_in(k_aug, sample_offset)
+                          if axis_name is not None else k_aug)
+                seeds = jax.random.randint(
+                    k_seed, (images.shape[0],), 0, jnp.iinfo(jnp.int32).max)
+                ctx = (pltpu.force_tpu_interpret_mode()
+                       if self._pallas_interpret
+                       else contextlib.nullcontext())
+                # prob_original=0.0: the joint input_fn calls
+                # apply_augmentations with its default gate
+                # (joint_train/data/input_fn.py:80-83).
+                with ctx:
+                    images, labels = fused_light_augment(
+                        seeds, images, labels, prob_original=0.0)
+            elif cfg.augment:
+                positions = sample_offset + jnp.arange(idx.shape[0])
+                aug_keys = jax.vmap(
+                    lambda i: jax.random.fold_in(k_aug, i))(positions)
+                images, labels = jax.vmap(
+                    lambda k, i, l: _augment_joint(
+                        k, i, l, self.dataset.num_classes)
+                )(aug_keys, images, labels)
+            if axis_name is not None:
+                # Distinct dropout streams per shard (the full-batch dropout
+                # mask is not shardable by key; distribution unchanged).
+                k_drop = jax.random.fold_in(k_drop, sample_offset)
+            (loss, new_bn), grads = grad_fn(st.params, st.batch_stats,
+                                            images, labels, k_drop)
+            if axis_name is not None:
+                loss = jax.lax.pmean(loss, axis_name)
+                grads = jax.lax.pmean(grads, axis_name)
+            new_params, new_opt = apply_optimizer(
+                st.params, grads, st.opt, lr, self.opt_config)
+            return ModelState(new_params, new_bn, new_opt), loss
+
+        return step_fn
+
+    def _make_train_launch(self):
+        step_fn = self._make_step_fn(axis_name=None)
+
         def launch(state: ModelState, batch_idx, keys, lr):
             def step(carry, xs):
-                st = carry
                 idx, key = xs
-                k_aug, k_drop = jax.random.split(key)
-                images = self._images[idx].astype(jnp.float32)
-                labels = self._labels[idx]
-                if cfg.augment and self._use_pallas:
-                    import contextlib
-                    from jax.experimental.pallas import tpu as pltpu
-                    from mliis_tpu.ops.pallas_augment import \
-                        fused_light_augment
-                    seeds = jax.random.randint(
-                        k_aug, (images.shape[0],), 0, jnp.iinfo(jnp.int32).max)
-                    ctx = (pltpu.force_tpu_interpret_mode()
-                           if self._pallas_interpret
-                           else contextlib.nullcontext())
-                    # prob_original=0.0: the joint input_fn calls
-                    # apply_augmentations with its default gate
-                    # (joint_train/data/input_fn.py:80-83).
-                    with ctx:
-                        images, labels = fused_light_augment(
-                            seeds, images, labels, prob_original=0.0)
-                elif cfg.augment:
-                    aug_keys = jax.random.split(k_aug, images.shape[0])
-                    images, labels = jax.vmap(
-                        lambda k, i, l: _augment_joint(
-                            k, i, l, self.dataset.num_classes)
-                    )(aug_keys, images, labels)
-                (loss, new_bn), grads = grad_fn(st.params, st.batch_stats,
-                                                images, labels, k_drop)
-                new_params, new_opt = apply_optimizer(
-                    st.params, grads, st.opt, lr, self.opt_config)
-                return ModelState(new_params, new_bn, new_opt), loss
+                return step_fn(carry, idx, key, lr, self._images,
+                               self._labels, 0)
 
             return jax.lax.scan(step, state, (batch_idx, keys))
+
+        return launch
+
+    def _make_sharded_train_launch(self, mesh):
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mliis_tpu.parallel.mesh import DATA_AXIS
+        n_dev = mesh.shape[DATA_AXIS]
+        assert self.config.batch_size % n_dev == 0, \
+            "batch_size must be a multiple of the data-mesh size"
+        local_b = self.config.batch_size // n_dev
+        bn_axis = getattr(self.model, "bn_axis_name", None)
+        assert bn_axis == DATA_AXIS, (
+            "data-parallel joint training requires the model built with "
+            "bn_axis_name='data' (sync-BN); got {!r}".format(bn_axis))
+        step_fn = self._make_step_fn(axis_name=DATA_AXIS)
+
+        def shard_fn(state, images_store, labels_store, batch_idx, keys, lr):
+            offset = jax.lax.axis_index(DATA_AXIS) * local_b
+
+            def step(carry, xs):
+                idx, key = xs
+                return step_fn(carry, idx, key, lr, images_store,
+                               labels_store, offset)
+
+            return jax.lax.scan(step, state, (batch_idx, keys))
+
+        sharded = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(None, DATA_AXIS), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        jitted = jax.jit(sharded, donate_argnums=(0,))
+        # Replicate the example stores once (they are shard_map inputs).
+        replicated = NamedSharding(mesh, P())
+        images_r = jax.device_put(self._images, replicated)
+        labels_r = jax.device_put(self._labels, replicated)
+
+        def launch(state: ModelState, batch_idx, keys, lr):
+            return jitted(state, images_r, labels_r, batch_idx, keys, lr)
 
         return launch
 

@@ -32,6 +32,7 @@ from mliis_tpu.meta.learners import (MetaTrainConfig, apply_outer_update,
                                      make_per_task_fn)
 
 TASK_AXIS = "task"
+DATA_AXIS = "data"
 
 
 def make_task_mesh(num_devices: Optional[int] = None) -> Mesh:
@@ -39,6 +40,17 @@ def make_task_mesh(num_devices: Optional[int] = None) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (TASK_AXIS,))
+
+
+def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """Mesh with a "data" axis: the joint trainer's batch dimension shards
+    over it and BatchNorm pmeans its moments across it (sync-BN — the
+    TPU-native form of TpuBatchNormalization's cross_replica_sum,
+    /root/reference/models/efficientnet/utils.py:96-134)."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
 
 
 def make_sharded_train_step(model, loss_config: LossConfig,

@@ -142,6 +142,67 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_data_parallel_joint_step_matches_unsharded():
+    """The joint trainer's data-parallel launch (batch sharded over a "data"
+    mesh axis, pmean'd grads, sync-BN) must match the unsharded full-batch
+    launch bit-for-spec: same gathered samples, same per-global-sample
+    augmentation keys, full-batch BN moments via pmean — the end-to-end
+    driver for the cross_replica_sum parity (utils.py:96-134)."""
+    from mliis_tpu.joint.trainer import (JointTrainConfig, JointTrainer,
+                                         joint_dataset_from_task_store)
+    from mliis_tpu.parallel.mesh import make_data_mesh
+
+    store = make_synthetic_store(num_tasks=4, examples_per_task=6,
+                                 image_size=IMG, seed=1)
+    ds = joint_dataset_from_task_store(store)
+    opt_cfg = OptimizerConfig("sgd")
+    cfg = JointTrainConfig(batch_size=8, augment=True, l2=False,
+                           steps_per_launch=3, use_pallas_augment=False)
+
+    plain_model = TinySeg(n_output_channels=ds.num_classes + 1)
+    sync_model = TinySeg(n_output_channels=ds.num_classes + 1,
+                         bn_axis_name="data")
+    state = init_model_state(plain_model, jax.random.PRNGKey(0), IMG, opt_cfg)
+
+    plain = JointTrainer(plain_model, ds, ds, cfg, opt_cfg)
+    mesh = make_data_mesh(4)
+    sharded = JointTrainer(sync_model, ds, ds, cfg, opt_cfg, mesh=mesh)
+
+    n = ds.num_examples
+    key = jax.random.PRNGKey(7)
+    batch_idx = jax.random.randint(key, (3, cfg.batch_size), 0, n)
+    keys = jax.random.split(jax.random.PRNGKey(8), 3)
+
+    ref_state, ref_losses = plain._train_launch(
+        jax.tree_util.tree_map(jnp.array, state), batch_idx, keys,
+        jnp.float32(0.01))
+    out_state, out_losses = sharded._train_launch(
+        jax.tree_util.tree_map(jnp.array, state), batch_idx, keys,
+        jnp.float32(0.01))
+
+    np.testing.assert_allclose(np.asarray(out_losses),
+                               np.asarray(ref_losses), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out_state.batch_stats),
+                    jax.tree_util.tree_leaves(ref_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_joint_trainer_mesh_requires_sync_bn_model():
+    from mliis_tpu.joint.trainer import (JointTrainConfig, JointTrainer,
+                                         joint_dataset_from_task_store)
+    from mliis_tpu.parallel.mesh import make_data_mesh
+    store = make_synthetic_store(num_tasks=2, examples_per_task=4,
+                                 image_size=IMG, seed=2)
+    ds = joint_dataset_from_task_store(store)
+    with pytest.raises(AssertionError):
+        JointTrainer(TinySeg(n_output_channels=ds.num_classes + 1), ds, ds,
+                     JointTrainConfig(batch_size=8, use_pallas_augment=False),
+                     OptimizerConfig("sgd"), mesh=make_data_mesh(4))
+
+
 def test_sync_bn_matches_full_batch():
     """bn_axis_name sync-BN: a batch sharded over a "data" mesh axis must
     produce the same normalized output and updated moving stats as the

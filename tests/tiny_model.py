@@ -11,6 +11,7 @@ class TinySeg(nn.Module):
     n_output_channels: int = 2
     features: int = 8
     final_layer_dropout_rate: float = 0.0
+    bn_axis_name: str = None  # sync-BN mesh axis, like EfficientLab's
 
     @nn.compact
     def __call__(self, images, train: bool = True,
@@ -18,11 +19,13 @@ class TinySeg(nn.Module):
         x = images / 255.0
         x = nn.Conv(self.features, (3, 3), strides=(2, 2), use_bias=False,
                     kernel_init=layers.conv_kernel_init, name="conv0")(x)
-        x = layers.batch_norm(x, train, name="batch_normalization")
+        x = layers.batch_norm(x, train, axis_name=self.bn_axis_name,
+                              name="batch_normalization")
         x = layers.swish(x)
         x = nn.Conv(self.features, (3, 3), use_bias=False,
                     kernel_init=layers.conv_kernel_init, name="conv1")(x)
-        x = layers.batch_norm(x, train, name="batch_normalization_1")
+        x = layers.batch_norm(x, train, axis_name=self.bn_axis_name,
+                              name="batch_normalization_1")
         x = layers.swish(x)
         rate = final_layer_dropout_rate
         if rate is None:
