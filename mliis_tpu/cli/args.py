@@ -128,6 +128,11 @@ def argument_parser():
     add('--synthetic_tasks', type=int, default=16)
     add('--task_chunk_size', type=int, default=2,
         help='Tasks vmapped per device launch during evaluation.')
+    add('--precompute_augment', action='store_true',
+        help='Materialize every inner step\'s augmented batch (bf16-staged) '
+             'in one pass before the adaptation scan instead of augmenting '
+             'inside the scan body — the memory-tight/compile-budget escape '
+             'hatch (see MetaTrainConfig.precompute_augment).')
     add('--task_group_size', type=int, default=0,
         help='Meta-batch task group size per device launch during '
              'meta-training (0 = whole meta-batch in one launch).')
@@ -182,6 +187,7 @@ def meta_train_config(args) -> MetaTrainConfig:
         augment=args.augment,
         aug_rate=args.aug_rate,
         weight_decay_rate=args.weight_decay,
+        precompute_augment=args.precompute_augment,
         lr_scheduler=args.learning_rate_scheduler,
         lr_decay_rate=args.step_decay_rate,
         lr_decay_after_n_steps=args.decay_after_n_steps)
@@ -212,6 +218,7 @@ def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
         replacement=args.replacement,
         transductive=args.transductive,
         augment=args.augment,
+        precompute_augment=args.precompute_augment,
         weight_decay_rate=args.weight_decay,
         lr_scheduler=args.learning_rate_scheduler,
         lr_decay_rate=args.step_decay_rate,

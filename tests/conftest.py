@@ -40,6 +40,7 @@ SLOW_TEST_MODULES = {
     "test_joint_kshot",
     "test_early_stopping_uho",
     "test_inner_loop",
+    "test_convergence",
 }
 
 

@@ -107,3 +107,12 @@ def test_use_batch_stats_at_predict_flag():
 def test_mesh_tasks_flag_reaches_train_loop_config():
     a = args_lib.argument_parser().parse_args(["--mesh_tasks", "8"])
     assert args_lib.train_loop_config(a).mesh_tasks == 8
+
+
+def test_precompute_augment_flag_reaches_both_configs():
+    a = args_lib.argument_parser().parse_args(["--precompute_augment"])
+    assert args_lib.meta_train_config(a).precompute_augment
+    assert args_lib.eval_config(a).precompute_augment
+    default = args_lib.argument_parser().parse_args([])
+    assert not args_lib.meta_train_config(default).precompute_augment
+    assert not args_lib.eval_config(default).precompute_augment
