@@ -116,7 +116,8 @@ def assemble_batch(support_images_u8: jnp.ndarray,
                    support_masks_u8: jnp.ndarray,
                    idx: jnp.ndarray, key,
                    aug_rate: Optional[float] = None,
-                   augment: bool = True
+                   augment: bool = True,
+                   use_pallas: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather one inner-loop batch and augment it on-device.
 
@@ -126,13 +127,18 @@ def assemble_batch(support_images_u8: jnp.ndarray,
       aug_rate: probability to augment each sample; None uses the Augmenter
         default gate of n/(n+1) (np_augmenters.py:141, the rate Gecko
         meta-training runs at when no aug_rate is passed).
+      use_pallas: fuse the cheap composition in VMEM
+        (ops.augment.augment_batch_pallas; distributionally equivalent).
     Returns: images [B, H, W, 3] float32 in [0,255], masks [B, H, W, 2] f32.
     """
-    from mliis_tpu.ops.augment import augment_batch  # local: avoid cycle
+    from mliis_tpu.ops.augment import (augment_batch,  # local: avoid cycle
+                                       augment_batch_pallas)
 
     images = support_images_u8[idx].astype(jnp.float32)
     masks = onehot_mask(support_masks_u8[idx])
     if not augment:
         return images, masks
     prob_original = None if aug_rate is None else 1.0 - aug_rate
+    if use_pallas:
+        return augment_batch_pallas(key, images, masks, prob_original)
     return augment_batch(key, images, masks, prob_original)

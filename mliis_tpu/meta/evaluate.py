@@ -64,6 +64,8 @@ class EvalConfig:
     # In-scan augmentation (see MetaTrainConfig.precompute_augment): faster
     # and cheaper to compile since the rotation-once composition.
     precompute_augment: bool = False
+    # Pallas-fused cheap composition (see MetaTrainConfig.pallas_augment).
+    pallas_augment: bool = False
     lr_scheduler: str = "fixed"
     lr_decay_rate: float = 0.5
     lr_decay_after_n_steps: int = 5
@@ -82,7 +84,8 @@ def make_eval_task_fn(model, loss_config: LossConfig,
     adapt = make_adapt_fn(model, loss_config, opt_config,
                           weight_decay_rate=config.weight_decay_rate,
                           augment=config.augment,
-                          precompute_augment=config.precompute_augment)
+                          precompute_augment=config.precompute_augment,
+                          pallas_augment=config.pallas_augment)
     total = config.num_shots + config.test_shots
 
     def eval_task(state: ModelState, task_images_u8, task_masks_u8, count,
@@ -248,7 +251,8 @@ class GeckoEvaluator:
         adapt = make_adapt_fn(model, loss_config, opt_config,
                               weight_decay_rate=config.weight_decay_rate,
                               augment=config.augment,
-                              precompute_augment=config.precompute_augment)
+                              precompute_augment=config.precompute_augment,
+                              pallas_augment=config.pallas_augment)
         total = config.num_shots + config.test_shots
 
         def adapt_task(state, task_images_u8, task_masks_u8, count, key, lr,

@@ -149,7 +149,8 @@ def make_loss_and_grad(model, loss_config: LossConfig):
 
 def sgd_scan_step(model, loss_config: LossConfig,
                   opt_config: OptimizerConfig,
-                  weight_decay_rate: float = 1.0):
+                  weight_decay_rate: float = 1.0,
+                  pallas_augment: bool = False):
     """One inner step: (state, (batch_idx, key, lr)) -> state.
 
     Batch gather + augmentation happen inside the step so augmented batches
@@ -164,7 +165,7 @@ def sgd_scan_step(model, loss_config: LossConfig,
         k_aug, k_drop = jax.random.split(key)
         images, masks = episodes.assemble_batch(
             support_images_u8, support_masks_u8, idx, k_aug,
-            aug_rate=aug_rate, augment=augment)
+            aug_rate=aug_rate, augment=augment, use_pallas=pallas_augment)
         params = state.params
         if weight_decay_rate != 1.0:
             # pre-step op: multiplicative decay of all trainable vars
@@ -205,7 +206,8 @@ def precompute_augmented_batches(support_images_u8, support_masks_u8,
 
 def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
                   weight_decay_rate: float = 1.0, augment: bool = True,
-                  precompute_augment: bool = False) -> Callable:
+                  precompute_augment: bool = False,
+                  pallas_augment: bool = False) -> Callable:
     """Builds adapt(state, support_images_u8, support_masks_u8, idx_matrix,
     keys, lrs, drop_rate, aug_rate) -> (adapted ModelState, per-step losses).
 
@@ -218,7 +220,8 @@ def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
     the bf16 staging round; trades HBM (steps*batch images) for a much
     smaller scan body — the escape hatch for compile-cost-sensitive setups.
     """
-    step_fn = sgd_scan_step(model, loss_config, opt_config, weight_decay_rate)
+    step_fn = sgd_scan_step(model, loss_config, opt_config, weight_decay_rate,
+                            pallas_augment=pallas_augment)
     loss_and_grad = make_loss_and_grad(model, loss_config)
 
     def adapt(state: ModelState, support_images_u8, support_masks_u8,

@@ -57,6 +57,10 @@ class MetaTrainConfig:
     # 59-step adapt on v5e. precompute_augment=True remains available for
     # memory-tight setups where the staged bf16 batches win.
     precompute_augment: bool = False
+    # Fuse the cheap augmentation composition in one Pallas VMEM pass per
+    # rotation side (ops/pallas_augment.cheap_pass); distributionally
+    # equivalent to the jnp path.
+    pallas_augment: bool = False
     lr_scheduler: str = "fixed"
     lr_decay_rate: float = 0.5
     lr_decay_after_n_steps: int = 5
@@ -86,7 +90,8 @@ def make_per_task_fn(model, loss_config: LossConfig,
     adapt = make_adapt_fn(model, loss_config, opt_config,
                           weight_decay_rate=config.weight_decay_rate,
                           augment=config.augment,
-                          precompute_augment=config.precompute_augment)
+                          precompute_augment=config.precompute_augment,
+                          pallas_augment=config.pallas_augment)
 
     if not config.foml:
         # Gecko.train_step does not forward aug_rate -> default gate.

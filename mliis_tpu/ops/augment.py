@@ -622,3 +622,71 @@ def augment_batch(key, images: jnp.ndarray, masks: jnp.ndarray,
     return jax.vmap(
         lambda k, im, mk: apply_augmentations(k, im, mk, prob_to_return_original)
     )(keys, images, masks)
+
+
+def augment_batch_pallas(key, images: jnp.ndarray, masks: jnp.ndarray,
+                         prob_to_return_original=None,
+                         interpret: Optional[bool] = None) -> Pair:
+    """Batch augmentation with the cheap composition fused in Pallas.
+
+    Same composition semantics as `augment_batch` (gate, random prefix of a
+    random permutation, rotation evaluated once in XLA between the two
+    fused cheap passes), but the 5 cheap functions run as ONE VMEM pass per
+    side of the rotation (ops/pallas_augment.cheap_pass) instead of the
+    vmapped 6-stage switch that evaluates every branch for every sample.
+    Gate/permutation/count draws stay in jax.random; per-op randomness
+    inside the kernel uses the on-core PRNG, so outputs are
+    distributionally — not bitwise — equivalent to the jnp path (tested).
+
+    `interpret=None` auto-selects Pallas interpret mode off-TPU (tests/CI;
+    via force_tpu_interpret_mode, whose interpreter emulates the TPU PRNG
+    primitives that the plain HLO interpreter lacks).
+    """
+    import contextlib
+    from jax.experimental.pallas import tpu as pltpu
+    from mliis_tpu.ops.pallas_augment import cheap_pass
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def ctx():
+        return (pltpu.force_tpu_interpret_mode() if interpret
+                else contextlib.nullcontext())
+    n = NUM_AUG_FUNCS
+    if prob_to_return_original is None:
+        prob_to_return_original = 1.0 / (n + 1)
+    exp_idx = AUG_FUNCS.index(rotate_img_mask)
+    c_img = images.shape[-1]
+    b = images.shape[0]
+    keys = jax.random.split(key, b)
+
+    def draws(k):
+        k_gate, k_perm, k_count, k_fns = jax.random.split(k, 4)
+        skip = jax.random.uniform(k_gate, ()) <= prob_to_return_original
+        perm = jax.random.permutation(k_perm, n)
+        num = jax.random.randint(k_count, (), 1, n + 1)
+        seeds = jax.random.randint(jax.random.fold_in(k_fns, 0), (2,), 0,
+                                   jnp.iinfo(jnp.int32).max)
+        k_rot = jax.random.fold_in(k_fns, 1)
+        return skip, perm, num, seeds, k_rot
+
+    skip, perm, num, seeds, rot_keys = jax.vmap(draws)(keys)
+    exp_pos = jnp.argmax(perm == exp_idx, axis=1).astype(jnp.int32)
+    exp_applied = exp_pos < num
+
+    x = jax.vmap(_to_planar)(images, masks)      # [B, C_tot, H, W]
+    with ctx():
+        pre = cheap_pass(seeds[:, 0], x, perm, num,
+                         jnp.stack([jnp.zeros_like(exp_pos), exp_pos],
+                                   axis=1),
+                         c_img=c_img)
+    rotated = jax.vmap(lambda k, v: _rotate_planar(k, v, c_img))(rot_keys,
+                                                                 pre)
+    mid = jnp.where(exp_applied[:, None, None, None], rotated, pre)
+    with ctx():
+        post = cheap_pass(seeds[:, 1], mid, perm, num,
+                          jnp.stack([exp_pos + 1,
+                                     jnp.full_like(exp_pos, n)], axis=1),
+                          c_img=c_img)
+    out = jnp.where(skip[:, None, None, None], x, post)
+    return jax.vmap(lambda v: _from_planar(v, c_img))(out)

@@ -1,16 +1,26 @@
-"""Pallas TPU kernel: fused light augmentation for the joint training path.
+"""Pallas TPU kernels: fused augmentation compositions kept in VMEM.
 
-The joint trainer augments every example with the 4-function Augmenter
-subset [translate, fliplr, additive_gaussian_noise, exposure]
-(joint_train.py:140-148). In the jnp implementation each function is its own
-HBM-roundtripping op cluster; this kernel keeps the image in VMEM across the
-whole composition — one read, one write — with the per-sample PRNG generated
-on-core (pltpu.prng_*).
+Two kernels:
+
+1. `fused_light_augment` — the joint training path's 4-function Augmenter
+   subset [translate, fliplr, additive_gaussian_noise, exposure]
+   (joint_train.py:140-148) on ([3, H, W] image, [H, W] class-index mask).
+2. `cheap_pass` — the META path's 5 cheap functions [random_eraser,
+   translate, fliplr, noise, exposure] on the stacked channel-planar
+   [C_img+C_msk, H, W] tensor of ops/augment.py, applying a caller-specified
+   stage window of a 6-function permutation (the rotation stage runs in XLA
+   between the pre- and post-rotation cheap passes — see
+   `ops.augment` `_compose_split_expensive_planar` for the factorization).
+
+In the jnp implementation each cheap function is its own HBM-roundtripping
+op cluster and the vmapped lax.switch evaluates every branch at every
+stage; these kernels keep the sample in VMEM across the whole composition —
+one read, one write — with per-sample PRNG generated on-core (pltpu.prng_*).
 
 Composition semantics match Augmenter.apply_augmentations exactly
 (np_augmenters.py:144-156): with probability `prob_original` the sample
-passes through; otherwise a uniformly-random prefix (length 1..4) of a
-uniformly-random permutation of the 4 functions is applied in order. The
+passes through; otherwise a uniformly-random prefix (length 1..n) of a
+uniformly-random permutation of the function list is applied in order. The
 PRNG *stream* differs from the jax.random path (different generator), so
 outputs are distributionally — not bitwise — equivalent.
 
@@ -19,9 +29,6 @@ TPU-native op choices (per the Pallas guide: avoid gathers/dynamic slicing):
     matrices built from broadcasted_iota comparisons (MXU work, exact);
   - stripe fills and the translate direction logic are iota masks + selects;
   - gaussian noise uses Box-Muller over pltpu.prng_random_bits.
-
-Images are processed channel-major [3, H, W]; masks are single-channel
-class-index maps [H, W] (the joint-path label format).
 """
 import functools
 from typing import Tuple
@@ -240,3 +247,150 @@ def fused_light_augment(seeds: jnp.ndarray, images: jnp.ndarray,
 
     out_images = jnp.transpose(out_images_cm, (0, 2, 3, 1))
     return out_images, out_masks.astype(masks.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Meta-path cheap-composition kernel: stage window of a 6-function
+# permutation over the stacked planar [C_img+C_msk, H, W] sample.
+# ---------------------------------------------------------------------------
+
+META_NUM_FUNCS = 6   # ops.augment.AUG_FUNCS order; index 5 = rotation (XLA)
+_META_ROTATE_IDX = 5
+_IDENTITY_SLOT = 5   # branch table: 5 cheap branches + identity
+
+
+def _cheap_pass_kernel(seeds_ref, perm_ref, num_ref, win_ref, x_ref, out_ref,
+                       *, c_img, height, width, max_shift, noise_mean_sd,
+                       exposure_mean_sd, eraser_s_l, eraser_s_h, eraser_r_1,
+                       eraser_r_2):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seeds_ref[i])
+    x = x_ref[:]                     # [C_tot, H, W] float32
+    c_tot = x.shape[0]
+    num_to_apply = num_ref[i]
+    lo = win_ref[i, 0]
+    hi = win_ref[i, 1]
+
+    chan = jax.lax.broadcasted_iota(jnp.int32, (c_tot, 1, 1), 0)
+    is_img = chan < c_img            # [C,1,1] bool
+    bg_vec = (chan == c_img).astype(jnp.float32)  # one-hot background plane
+
+    # Pre-draw all per-op randomness (branches stay side-effect-free).
+    # eraser (np_augmenters.py:9-36): area/aspect box, uniform fill value.
+    er_s = (_uniform_scalar() * (eraser_s_h - eraser_s_l) + eraser_s_l) \
+        * height * width
+    er_r = _uniform_scalar() * (eraser_r_2 - eraser_r_1) + eraser_r_1
+    er_w = jnp.floor(jnp.sqrt(er_s / er_r)).astype(jnp.int32)
+    er_h = jnp.floor(jnp.sqrt(er_s * er_r)).astype(jnp.int32)
+    er_top = _randint_scalar(0, height)
+    er_left = _randint_scalar(0, width)
+    er_c = _uniform_scalar() * 255.0
+    # translate
+    vert = _uniform_scalar() < 0.5
+    direction = _uniform_scalar() < 0.5
+    shift = _randint_scalar(1, max_shift + 1)
+    shift = jnp.where(direction, shift, -shift)
+    do_roll = _uniform_scalar() < 0.5
+    img_fill = _uniform((c_tot, 1)) * 255.0  # only image rows used
+    # noise / exposure
+    noise_sd = jnp.abs(noise_mean_sd + _gaussian((1, 1))[0, 0])
+    noise = noise_sd * _gaussian((c_tot, height, width))
+    exp_sd = jnp.abs(exposure_mean_sd + _gaussian((1, 1))[0, 0])
+    exp_shift = exp_sd * _gaussian((1, 1))[0, 0]
+
+    rev_w = _reverse_matrix(width)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+
+    def apply_eraser(v):
+        region = ((rows >= er_top).astype(jnp.int32)
+                  * (rows < er_top + er_h).astype(jnp.int32)
+                  * (cols >= er_left).astype(jnp.int32)
+                  * (cols < er_left + er_w).astype(jnp.int32)) == 1
+        fill = jnp.where(is_img, er_c, bg_vec)   # [C,1,1]
+        return jnp.where(region[None, :, :],
+                         jnp.broadcast_to(fill, v.shape), v)
+
+    def apply_translate(v):
+        roll_h = _roll_matrix(height, shift).T  # left-apply rolls rows
+        roll_w = _roll_matrix(width, shift)
+        rolled_h = jnp.einsum("hk,ckw->chw", roll_h, v,
+                              preferred_element_type=jnp.float32)
+        rolled_w = jnp.einsum("chw,wk->chk", v, roll_w,
+                              preferred_element_type=jnp.float32)
+        axis = jnp.where(vert, 0, 1)
+        rolled = jnp.where(vert, rolled_h, rolled_w)
+        stripe = _stripe_mask(height, width, axis, shift)
+        fill = jnp.where(is_img, img_fill[:, :, None], bg_vec)  # [C,1,1]
+        filled = jnp.where(stripe[None, :, :],
+                           jnp.broadcast_to(fill, rolled.shape), rolled)
+        return jnp.where(do_roll, rolled, filled)
+
+    def apply_fliplr(v):
+        return jnp.einsum("chw,wk->chk", v, rev_w,
+                          preferred_element_type=jnp.float32)
+
+    def apply_noise(v):
+        return jnp.where(is_img, jnp.clip(v + noise, 0.0, 255.0), v)
+
+    def apply_exposure(v):
+        return jnp.where(is_img, jnp.clip(v + exp_shift, 0.0, 255.0), v)
+
+    branches = [apply_eraser, apply_translate, apply_fliplr, apply_noise,
+                apply_exposure, lambda v: v]
+
+    for s in range(META_NUM_FUNCS):
+        op = perm_ref[i, s]
+        applied = (s >= lo) & (s < hi) & (s < num_to_apply) \
+            & (op != _META_ROTATE_IDX)
+        idx = jnp.where(applied, jnp.minimum(op, _IDENTITY_SLOT),
+                        _IDENTITY_SLOT)
+        x = jax.lax.switch(idx, branches, x)
+
+    out_ref[:] = x
+
+
+def cheap_pass(seeds: jnp.ndarray, x: jnp.ndarray, perm: jnp.ndarray,
+               num_to_apply: jnp.ndarray, window: jnp.ndarray, *,
+               c_img: int = 3, max_shift: int = 23,
+               noise_mean_sd: float = 5.1, exposure_mean_sd: float = 12.75,
+               eraser_s_l: float = 0.02, eraser_s_h: float = 0.10,
+               eraser_r_1: float = 0.3, eraser_r_2: float = 1.0 / 0.3,
+               interpret: bool = False) -> jnp.ndarray:
+    """One fused cheap-composition pass over a planar batch.
+
+    Args:
+      seeds: [B] int32 per-sample PRNG seeds.
+      x: [B, C_tot, H, W] float32 planar stacked image+one-hot-mask batch.
+      perm: [B, META_NUM_FUNCS] int32 per-sample function permutation
+        (values 0..5 in ops.augment.AUG_FUNCS order; 5 = rotation, skipped).
+      num_to_apply: [B] int32 prefix length.
+      window: [B, 2] int32 [lo, hi) stage window this pass applies
+        (pre-rotation: [0, exp_pos); post-rotation: [exp_pos+1, 6)).
+    Returns the transformed batch, same shape.
+    """
+    b, c_tot, h, w = x.shape
+    kernel = functools.partial(
+        _cheap_pass_kernel, c_img=c_img, height=h, width=w,
+        max_shift=max_shift, noise_mean_sd=noise_mean_sd,
+        exposure_mean_sd=exposure_mean_sd, eraser_s_l=eraser_s_l,
+        eraser_s_h=eraser_s_h, eraser_r_1=eraser_r_1, eraser_r_2=eraser_r_2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, c_tot, h, w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, c_tot, h, w), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c_tot, h, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(seeds.astype(jnp.int32), perm.astype(jnp.int32),
+      num_to_apply.astype(jnp.int32), window.astype(jnp.int32),
+      x.astype(jnp.float32))

@@ -65,3 +65,127 @@ def test_zero_prng_applies_identity_like_ops(data):
     arr = np.asarray(out_i)
     assert np.isfinite(arr).all()
     assert arr.min() >= 0.0 and arr.max() <= 255.0
+
+
+# ---------------------------------------------------------------------------
+# Meta-path cheap-composition kernel (planar [C_img+2, H, W] samples).
+# ---------------------------------------------------------------------------
+
+from mliis_tpu.ops.pallas_augment import cheap_pass  # noqa: E402
+
+
+def _planar_batch(rng, b=2, h=32, w=32):
+    imgs = rng.integers(0, 256, (b, 3, h, w)).astype(np.float32)
+    fg = (rng.random((b, 1, h, w)) > 0.5).astype(np.float32)
+    x = np.concatenate([imgs, 1.0 - fg, fg], axis=1)
+    return jnp.asarray(x)
+
+
+def _run_cheap(x, perm_row, num, lo, hi):
+    b = x.shape[0]
+    perm = jnp.tile(jnp.asarray(perm_row, jnp.int32)[None], (b, 1))
+    nums = jnp.full((b,), num, jnp.int32)
+    win = jnp.tile(jnp.asarray([[lo, hi]], jnp.int32), (b, 1))
+    seeds = jnp.arange(b, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        return cheap_pass(seeds, x, perm, nums, win, interpret=True)
+
+
+def test_cheap_pass_identity_windows(rng):
+    """Empty stage window, zero prefix, or a rotation-only stage all leave
+    the sample untouched."""
+    x = _planar_batch(rng)
+    for perm_row, num, lo, hi in (
+            ([0, 1, 2, 3, 4, 5], 6, 3, 3),   # empty window
+            ([0, 1, 2, 3, 4, 5], 0, 0, 6),   # zero prefix
+            ([5, 0, 1, 2, 3, 4], 1, 0, 6)):  # only rotation applied
+        out = _run_cheap(x, perm_row, num, lo, hi)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+
+
+def test_cheap_pass_fliplr_exact(rng):
+    """fliplr is draw-free, so the kernel's output is exactly the lane
+    reversal of the input."""
+    x = _planar_batch(rng)
+    out = _run_cheap(x, [2, 0, 1, 3, 4, 5], 1, 0, 6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x)[..., ::-1])
+
+
+def test_cheap_pass_eraser_marks_background(rng):
+    """Zero-PRNG eraser: box at (0,0) with the minimum area, fill value 0;
+    the erased region's mask planes must be background one-hot."""
+    x = _planar_batch(rng)
+    out = np.asarray(_run_cheap(x, [0, 1, 2, 3, 4, 5], 1, 0, 6))
+    changed = np.any(out[:, :3] != np.asarray(x)[:, :3], axis=1)
+    assert changed.any()
+    for b in range(x.shape[0]):
+        assert np.allclose(out[b, 3][changed[b]], 1.0)
+        assert np.allclose(out[b, 4][changed[b]], 0.0)
+
+
+def test_cheap_pass_translate_zero_prng_rolls_rows(rng):
+    """Zero-PRNG translate: vert, +1 shift, roll branch -> rows roll by 1."""
+    x = _planar_batch(rng)
+    out = _run_cheap(x, [1, 0, 2, 3, 4, 5], 1, 0, 6)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.roll(np.asarray(x), 1, axis=2), atol=1e-4)
+
+
+def test_cheap_pass_mask_stays_onehot(rng):
+    x = _planar_batch(rng)
+    for perm_row in ([0, 1, 2, 3, 4, 5], [4, 3, 2, 1, 0, 5]):
+        out = np.asarray(_run_cheap(x, perm_row, 6, 0, 6))
+        sums = out[:, 3] + out[:, 4]
+        np.testing.assert_allclose(sums, np.ones_like(sums), atol=1e-4)
+
+
+def test_augment_batch_pallas_structure(rng):
+    """End-to-end wrapper: gate identity at prob 1, shape/one-hot invariants
+    at prob 0 (interpret mode; the distributional-equivalence comparison vs
+    the jnp path needs the on-core PRNG and runs on real TPU —
+    experiments/pallas_aug_equivalence.py)."""
+    from mliis_tpu.ops.augment import augment_batch_pallas
+    images = jnp.asarray(rng.integers(0, 256, (3, 32, 32, 3)).astype(
+        np.float32))
+    fg = (rng.random((3, 32, 32)) > 0.5).astype(np.float32)
+    masks = jnp.asarray(np.stack([1.0 - fg, fg], axis=-1))
+
+    out_i, out_m = augment_batch_pallas(jax.random.PRNGKey(0), images, masks,
+                                        prob_to_return_original=1.0,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(images),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(masks),
+                               atol=1e-4)
+
+    out_i, out_m = augment_batch_pallas(jax.random.PRNGKey(1), images, masks,
+                                        prob_to_return_original=0.0,
+                                        interpret=True)
+    assert out_i.shape == images.shape and out_m.shape == masks.shape
+    arr_m = np.asarray(out_m)
+    np.testing.assert_allclose(arr_m.sum(-1), np.ones_like(arr_m.sum(-1)),
+                               atol=1e-3)
+    assert np.isfinite(np.asarray(out_i)).all()
+
+
+def test_adapt_fn_pallas_augment_path(rng):
+    """The pallas_augment flag reaches the scanned inner loop and trains."""
+    from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
+                                           init_model_state, make_adapt_fn)
+    from tests.tiny_model import TinySeg
+    model = TinySeg()
+    opt_cfg = OptimizerConfig("sgd")
+    state = init_model_state(model, jax.random.PRNGKey(0), 32, opt_cfg)
+    adapt = make_adapt_fn(model, LossConfig(l2=False), opt_cfg,
+                          pallas_augment=True)
+    imgs = jnp.asarray(rng.integers(0, 256, (6, 32, 32, 3)).astype(np.uint8))
+    msks = jnp.asarray(
+        (rng.random((6, 32, 32)) > 0.5).astype(np.uint8) * 255)
+    idx = jnp.asarray(rng.integers(0, 6, (2, 4)))
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    lrs = jnp.full((2,), 0.01, jnp.float32)
+    out, losses = adapt(state, imgs, msks, idx, keys, lrs,
+                        aug_rate=jnp.float32(0.5))
+    assert np.isfinite(np.asarray(losses)).all()
+    for leaf in jax.tree_util.tree_leaves(out.params):
+        assert np.isfinite(np.asarray(leaf)).all()
