@@ -128,10 +128,11 @@ def argument_parser():
     add('--synthetic_tasks', type=int, default=16)
     add('--task_chunk_size', type=int, default=2,
         help='Tasks vmapped per device launch during evaluation.')
-    add('--pallas_augment', action='store_true',
+    add('--pallas_augment', choices=['auto', 'on', 'off'], default='auto',
         help='Fuse the cheap augmentation composition in Pallas VMEM passes '
              'around the XLA rotation (ops/pallas_augment.cheap_pass); '
-             'distributionally equivalent to the default jnp path.')
+             'distributionally equivalent to the jnp path. '
+             'auto = on for TPU backends.')
     add('--precompute_augment', action='store_true',
         help='Materialize every inner step\'s augmented batch (bf16-staged) '
              'in one pass before the adaptation scan instead of augmenting '
@@ -165,6 +166,10 @@ def model_kwargs(args) -> dict:
     )
 
 
+def _pallas_augment_mode(args):
+    return {'auto': None, 'on': True, 'off': False}[args.pallas_augment]
+
+
 def loss_config(args) -> LossConfig:
     return LossConfig(
         label_smoothing=args.label_smoothing,
@@ -192,7 +197,7 @@ def meta_train_config(args) -> MetaTrainConfig:
         aug_rate=args.aug_rate,
         weight_decay_rate=args.weight_decay,
         precompute_augment=args.precompute_augment,
-        pallas_augment=args.pallas_augment,
+        pallas_augment=_pallas_augment_mode(args),
         lr_scheduler=args.learning_rate_scheduler,
         lr_decay_rate=args.step_decay_rate,
         lr_decay_after_n_steps=args.decay_after_n_steps)
@@ -224,7 +229,7 @@ def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
         transductive=args.transductive,
         augment=args.augment,
         precompute_augment=args.precompute_augment,
-        pallas_augment=args.pallas_augment,
+        pallas_augment=_pallas_augment_mode(args),
         weight_decay_rate=args.weight_decay,
         lr_scheduler=args.learning_rate_scheduler,
         lr_decay_rate=args.step_decay_rate,

@@ -64,8 +64,9 @@ class EvalConfig:
     # In-scan augmentation (see MetaTrainConfig.precompute_augment): faster
     # and cheaper to compile since the rotation-once composition.
     precompute_augment: bool = False
-    # Pallas-fused cheap composition (see MetaTrainConfig.pallas_augment).
-    pallas_augment: bool = False
+    # Pallas-fused cheap composition (see MetaTrainConfig.pallas_augment);
+    # None = auto (on for TPU backends).
+    pallas_augment: Optional[bool] = None
     lr_scheduler: str = "fixed"
     lr_decay_rate: float = 0.5
     lr_decay_after_n_steps: int = 5

@@ -150,12 +150,16 @@ def make_loss_and_grad(model, loss_config: LossConfig):
 def sgd_scan_step(model, loss_config: LossConfig,
                   opt_config: OptimizerConfig,
                   weight_decay_rate: float = 1.0,
-                  pallas_augment: bool = False):
+                  pallas_augment: Optional[bool] = None):
     """One inner step: (state, (batch_idx, key, lr)) -> state.
 
     Batch gather + augmentation happen inside the step so augmented batches
     are never materialized outside the scan (HBM-friendly).
+    pallas_augment None = auto: the fused kernel path on TPU backends only
+    (the interpret-mode kernel is slow on CPU).
     """
+    if pallas_augment is None:
+        pallas_augment = jax.default_backend() == "tpu"
     loss_and_grad = make_loss_and_grad(model, loss_config)
 
     def step(carry, xs, support_images_u8, support_masks_u8, drop_rate,
@@ -207,7 +211,7 @@ def precompute_augmented_batches(support_images_u8, support_masks_u8,
 def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
                   weight_decay_rate: float = 1.0, augment: bool = True,
                   precompute_augment: bool = False,
-                  pallas_augment: bool = False) -> Callable:
+                  pallas_augment: Optional[bool] = None) -> Callable:
     """Builds adapt(state, support_images_u8, support_masks_u8, idx_matrix,
     keys, lrs, drop_rate, aug_rate) -> (adapted ModelState, per-step losses).
 

@@ -59,8 +59,10 @@ class MetaTrainConfig:
     precompute_augment: bool = False
     # Fuse the cheap augmentation composition in one Pallas VMEM pass per
     # rotation side (ops/pallas_augment.cheap_pass); distributionally
-    # equivalent to the jnp path.
-    pallas_augment: bool = False
+    # equivalent to the jnp path (equivalence measured on-chip, round 3).
+    # None = auto: on for TPU backends (measured 9.5% faster meta-steps),
+    # off elsewhere (the interpret-mode kernel is slow on CPU).
+    pallas_augment: Optional[bool] = None
     lr_scheduler: str = "fixed"
     lr_decay_rate: float = 0.5
     lr_decay_after_n_steps: int = 5

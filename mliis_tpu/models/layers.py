@@ -41,6 +41,63 @@ def depthwise_kernel_init(key, shape, dtype=jnp.float32):
 swish = jax.nn.silu
 
 
+# Fused scale-bias BatchNorm (the default): moments accumulate in f32 from
+# the bf16 activations (one convert+reduce pass), then the normalization
+# folds gamma/beta/mean/var into per-channel (mul, add) f32 scalars applied
+# as a SINGLE multiply-add in the compute dtype — instead of flax
+# nn.BatchNorm's subtract/rsqrt/multiply/add chain with every operand cast
+# to bf16 first. Same parameter/stat tree ({scale, bias} / {mean, var}
+# under the module name), same reference hyperparams
+# (/root/reference/models/efficientnet/utils.py:87-134). Set False to fall
+# back to flax nn.BatchNorm (perf A/B).
+USE_FUSED_BN = True
+
+
+class FusedBatchNorm(nn.Module):
+    """Scale-bias-folded BatchNorm; cross-replica moments over `axis_name`
+    (the TpuBatchNormalization cross_replica_sum equivalent)."""
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                nn.initializers.zeros, None, (features,),
+                                jnp.float32)
+        ra_var = self.variable("batch_stats", "var",
+                               nn.initializers.ones, None, (features,),
+                               jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(jnp.square(xf), axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale      # f32 [C]
+        add = bias - mean * inv                              # f32 [C]
+        out_dtype = self.dtype if self.dtype is not None else x.dtype
+        return x.astype(out_dtype) * inv.astype(out_dtype) \
+            + add.astype(out_dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with reference hyperparams and optional cross-replica axis."""
     momentum: float = 0.99
@@ -49,6 +106,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool):
+        if USE_FUSED_BN:
+            return FusedBatchNorm(
+                momentum=self.momentum, epsilon=self.epsilon,
+                axis_name=self.axis_name, name="batch_normalization",
+            )(x, use_running_average=use_running_average)
         return nn.BatchNorm(
             use_running_average=use_running_average,
             momentum=self.momentum,
@@ -63,6 +125,10 @@ def batch_norm(x, train, momentum: float = 0.99, epsilon: float = 1e-3,
                name: str = "batch_normalization", dtype=None):
     """Inline BN for use inside nn.compact modules. `dtype` is the compute
     dtype (bf16 for the MXU fast path); params/stats stay float32."""
+    if USE_FUSED_BN:
+        return FusedBatchNorm(momentum=momentum, epsilon=epsilon,
+                              axis_name=axis_name, dtype=dtype, name=name)(
+                                  x, use_running_average=not train)
     return nn.BatchNorm(use_running_average=not train, momentum=momentum,
                         epsilon=epsilon, axis_name=axis_name, name=name,
                         dtype=dtype)(x)

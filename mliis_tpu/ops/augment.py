@@ -204,23 +204,53 @@ def _fold_coords(c: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.ndarray:
 # Toggle for the gather-free shear rotation (see _rotate_shear_planar).
 FAST_ROTATE = True
 
+# Spectral shear backend: explicit DFT matmuls (True) or jnp.fft (False).
+# XLA:TPU lowers jnp.fft via a Cooley-Tukey factorization whose 6-D stage
+# tensors ([..., 224] -> [..., 32, 7]) are copied between layouts around
+# every stage — measured as the largest remaining copy class in the
+# optimized HLO (docs/PERF_NOTES.md). The DFT-matmul form is four real
+# [..., n] @ [n, n] matmuls per shear (pure MXU work, one layout, the
+# matrices hoisted as constants) and is mathematically identical up to f32
+# rounding.
+SHEAR_VIA_DFT_MATMUL = True
+
+
+def _dft_matrices(n: int):
+    """Real/imag parts of the symmetric DFT matrix M[j,k] = e^{-2πi jk/n}."""
+    j = jax.lax.broadcasted_iota(jnp.float32, (n, n), 0)
+    k = jax.lax.broadcasted_iota(jnp.float32, (n, n), 1)
+    ang = (2.0 * jnp.pi / n) * j * k
+    return jnp.cos(ang), -jnp.sin(ang)
+
 
 def _shear_last_axis(x, shifts):
     """Inverse-sampling circular shear along the LAST axis:
-    out[..., q, p] = in(..., q, p - shifts[q]). Implemented as an FFT phase
-    shift — exact fractional translation per lane, a handful of 224-point
-    FFTs (matmul-sized on TPU, ~0.1 ms for a 64-image batch) and no gathers
-    or per-shift copies (a static-roll-sum formulation materialized 350+
-    full-size temps; a gather formulation ran ~3 ms per image). Always
-    transforming the minor (lane) axis keeps every FFT in one layout; the
+    out[..., q, p] = in(..., q, p - shifts[q]), as a spectral phase shift —
+    exact fractional translation per lane with no gathers or per-shift
+    copies (a static-roll-sum formulation materialized 350+ full-size
+    temps; a gather formulation ran ~3 ms per image). Always transforming
+    the minor (lane) axis keeps every transform in one layout; the
     row-shear direction routes through an explicit swapaxes pair instead of
     a second transform layout (docs/PERF_NOTES.md lever 1)."""
     n = x.shape[-1]
-    spectrum = jnp.fft.fft(x, axis=-1)
-    k = (jnp.fft.fftfreq(n) * n).reshape((1,) * (x.ndim - 1) + (n,))
+    kvec = jnp.fft.fftfreq(n) * n
     s = shifts.reshape((1,) * (x.ndim - 2) + (shifts.shape[0], 1))
-    phase = jnp.exp((-2j * jnp.pi / n) * k * s)
-    return jnp.fft.ifft(spectrum * phase, axis=-1).real.astype(x.dtype)
+    theta = (-2.0 * jnp.pi / n) * kvec.reshape((1,) * (x.ndim - 1) + (n,)) * s
+    if not SHEAR_VIA_DFT_MATMUL:
+        spectrum = jnp.fft.fft(x, axis=-1)
+        phase = jnp.cos(theta) + 1j * jnp.sin(theta)
+        return jnp.fft.ifft(spectrum * phase, axis=-1).real.astype(x.dtype)
+    fr, fi = _dft_matrices(n)
+    xr = jnp.matmul(x, fr, preferred_element_type=jnp.float32)
+    xi = jnp.matmul(x, fi, preferred_element_type=jnp.float32)
+    pr = jnp.cos(theta)
+    pi = jnp.sin(theta)
+    yr = xr * pr - xi * pi
+    yi = xr * pi + xi * pr
+    # real(ifft): (yr @ Fr + yi @ Fi) / n   (M symmetric, W = conj(M)/n).
+    out = (jnp.matmul(yr, fr, preferred_element_type=jnp.float32)
+           + jnp.matmul(yi, fi, preferred_element_type=jnp.float32)) / n
+    return out.astype(x.dtype)
 
 
 def _rotate_shear_planar(x, c_img, angle, mode_idx, fill_with_noise,

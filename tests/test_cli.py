@@ -109,6 +109,16 @@ def test_mesh_tasks_flag_reaches_train_loop_config():
     assert args_lib.train_loop_config(a).mesh_tasks == 8
 
 
+def test_pallas_augment_mode_flag():
+    on = args_lib.argument_parser().parse_args(["--pallas_augment", "on"])
+    assert args_lib.meta_train_config(on).pallas_augment is True
+    assert args_lib.eval_config(on).pallas_augment is True
+    off = args_lib.argument_parser().parse_args(["--pallas_augment", "off"])
+    assert args_lib.meta_train_config(off).pallas_augment is False
+    auto = args_lib.argument_parser().parse_args([])
+    assert args_lib.meta_train_config(auto).pallas_augment is None
+
+
 def test_precompute_augment_flag_reaches_both_configs():
     a = args_lib.argument_parser().parse_args(["--precompute_augment"])
     assert args_lib.meta_train_config(a).precompute_augment
