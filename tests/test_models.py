@@ -112,3 +112,37 @@ def test_aspp_and_skip_decoding_paths_build():
     assert logits.shape == (1, 64, 64, 2)
     assert "spatial_pyramid_pooling" in variables["params"]
     assert "sep_conv_0" in variables["params"]
+
+
+def test_fused_batch_norm_matches_flax(rng):
+    """FusedBatchNorm (the default BN) must match flax nn.BatchNorm in both
+    modes with an identical variable tree — checkpoint compatibility and
+    numerics (docs/PERF_NOTES.md lever 2)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from mliis_tpu.models.layers import FusedBatchNorm
+
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 3)).astype(np.float32) * 3 + 1)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.99,
+                       epsilon=1e-3, name="batch_normalization")
+    fused = FusedBatchNorm(name="batch_normalization")
+    variables = ref.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(
+                fused.init(jax.random.PRNGKey(1), x,
+                           use_running_average=False)))
+    y_ref, mut_ref = ref.apply(variables, x, mutable=["batch_stats"])
+    y_fus, mut_fus = fused.apply(variables, x, use_running_average=False,
+                                 mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref),
+                               atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mut_fus),
+                    jax.tree_util.tree_leaves(mut_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    y_inf_ref = nn.BatchNorm(use_running_average=True, momentum=0.99,
+                             epsilon=1e-3,
+                             name="batch_normalization").apply(variables, x)
+    y_inf_fus = fused.apply(variables, x, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(y_inf_fus), np.asarray(y_inf_ref),
+                               atol=1e-5)
