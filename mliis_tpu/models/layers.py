@@ -75,7 +75,10 @@ class FusedBatchNorm(nn.Module):
                                nn.initializers.ones, None, (features,),
                                jnp.float32)
 
-        if use_running_average:
+        # Like flax nn.BatchNorm: initialization uses the running stats, so
+        # a sync-BN model (axis_name set) can init outside its mesh without
+        # binding the collective axis.
+        if use_running_average or self.is_initializing():
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
