@@ -104,11 +104,13 @@ def main():
                           foml=True, tail_shots=5, aug_rate=0.5)
     # The meta-batch runs in task groups with host-side linear combination
     # (the outer update is linear in per-task results) — on a real v5e-8 the
-    # 5 tasks shard across chips instead (parallel/mesh.py). Group-size
-    # sweep on v5e (no remat, in-scan aug): 2+2+1 -> 2.70 s/meta-step,
-    # 3+2 -> 2.77, 5-in-one-launch -> 2.85 (HBM pressure): groups of 2 win.
+    # 5 tasks shard across chips instead (parallel/mesh.py). Round-3
+    # group-size sweep on v5e (planar/DFT augmentation, fused BN, Pallas
+    # cheap pass): per-task step time RISES with vmap width (0.314 s/task at
+    # group 1, 0.352 at 2, 0.360 at 3 — HBM pressure), so single-task
+    # launches win: 5x1 -> ~1.6 s/meta-step vs 2+2+1 -> 1.72 s.
     train_step = make_microbatched_train_step(model, loss_cfg, opt_cfg, cfg,
-                                              n_max=10, group_size=2)
+                                              n_max=10, group_size=1)
     imgs = jnp.asarray(store.images)
     msks = jnp.asarray(store.masks)
     cnts = jnp.asarray(store.counts)
@@ -185,6 +187,20 @@ def main():
     baseline_task_s = per_sgd_step * inner_iters
     baseline_tasks_per_sec = 1.0 / baseline_task_s
 
+    # Eval throughput: 59-step adaptation + transductive predict per task.
+    from mliis_tpu.meta.evaluate import EvalConfig, GeckoEvaluator
+    eval_cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=8,
+                          inner_iters=59, transductive=True, augment=True,
+                          task_chunk_size=1)
+    evaluator = GeckoEvaluator(model, loss_cfg, opt_cfg, eval_cfg, store)
+    evaluator.evaluate_tasks(state, [0], jax.random.PRNGKey(7), 5e-4,
+                             aug_rate=0.5)  # compile
+    n_eval = 8
+    t0 = time.time()
+    evaluator.evaluate_tasks(state, list(range(n_eval)),
+                             jax.random.PRNGKey(8), 5e-4, aug_rate=0.5)
+    eval_tasks_per_sec = n_eval / (time.time() - t0)
+
     vs_baseline = tasks_per_sec / baseline_tasks_per_sec
     result = {
         "metric": "meta_tasks_adapted_per_sec_per_chip",
@@ -200,6 +216,7 @@ def main():
             "peak_tflops_bf16": (None if np.isnan(peak)
                                  else round(peak / 1e12, 1)),
             "session_style_task_s": round(baseline_task_s, 3),
+            "eval_tasks_per_sec": round(eval_tasks_per_sec, 3),
             "config": "FOMAML* meta-batch 5 x 59 steps x bs8 @224, "
                       "EfficientLab-6-3, bce_dice, aug 0.5",
         },
