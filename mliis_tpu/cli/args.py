@@ -144,6 +144,11 @@ def argument_parser():
     add('--mesh_tasks', type=int, default=0,
         help='If > 0, shard eval/meta-batch over this many devices along a '
              '"task" mesh axis.')
+    add('--rng_impl', choices=['threefry', 'rbg'], default='threefry',
+        help='JAX PRNG implementation. rbg trades threefry\'s stream '
+             'quality for ~4%% faster meta-steps on TPU (measured round 3); '
+             'streams differ between the two, so results are '
+             'distributionally — not bitwise — comparable.')
     add('--profile_dir', type=str, default=None,
         help='Capture a JAX profiler trace (TensorBoard-viewable, includes '
              'XLA/TPU timelines) of the whole run into this directory.')

@@ -64,6 +64,9 @@ def main(argv=None):
     args = args_lib.argument_parser().parse_args(argv)
     from mliis_tpu.utils.cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
+    if args.rng_impl != "threefry":
+        import jax
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
     if args.profile_dir:
         from mliis_tpu.utils.profiling import trace
         with trace(args.profile_dir):

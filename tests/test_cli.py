@@ -119,6 +119,12 @@ def test_pallas_augment_mode_flag():
     assert args_lib.meta_train_config(auto).pallas_augment is None
 
 
+def test_rng_impl_flag_parses():
+    a = args_lib.argument_parser().parse_args(["--rng_impl", "rbg"])
+    assert a.rng_impl == "rbg"
+    assert args_lib.argument_parser().parse_args([]).rng_impl == "threefry"
+
+
 def test_precompute_augment_flag_reaches_both_configs():
     a = args_lib.argument_parser().parse_args(["--precompute_augment"])
     assert args_lib.meta_train_config(a).precompute_augment
