@@ -29,3 +29,39 @@ def enable_persistent_compilation_cache(cache_dir: str = None) -> bool:
         return True
     except Exception:  # noqa: BLE001 - unsupported backend/config -> no-op
         return False
+
+
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU's feature set (XLA:CPU AOT executables are
+    feature-set-specific; a stale cache from a different machine SIGILLs)."""
+    import hashlib
+    import platform
+    bits = platform.machine() + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    bits += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(bits.encode()).hexdigest()[:12]
+
+
+def enable_cpu_compilation_cache(cache_dir: str = None) -> bool:
+    """Persistent compile cache for CPU backends (the test suite), keyed by
+    a host-CPU fingerprint so executables never load on a machine with a
+    different feature set. Cuts the compile-dominated suite wall-clock on
+    warm re-runs."""
+    import jax
+
+    try:
+        if cache_dir is None:
+            cache_dir = os.path.expanduser(
+                "~/.cache/mliis_tpu_xla_cpu_" + _host_fingerprint())
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:  # noqa: BLE001 - unsupported config -> no-op
+        return False

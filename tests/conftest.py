@@ -27,6 +27,12 @@ assert len(jax.devices()) >= 8, (
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent compile cache (host-fingerprinted; see utils/cache.py): the
+# suite is dominated by jit-compile time, and warm re-runs skip it.
+from mliis_tpu.utils.cache import enable_cpu_compilation_cache  # noqa: E402
+
+enable_cpu_compilation_cache()
+
 # Modules dominated by jit-compile time (minutes each on CPU). Marked slow
 # so `pytest -m 'not slow'` is the sub-2-minute iteration tier; CI/judge
 # runs the full suite.
