@@ -260,9 +260,9 @@ _IDENTITY_SLOT = 5   # branch table: 5 cheap branches + identity
 
 
 def _cheap_pass_kernel(seeds_ref, perm_ref, num_ref, win_ref, x_ref, out_ref,
-                       *, c_img, height, width, max_shift, noise_mean_sd,
-                       exposure_mean_sd, eraser_s_l, eraser_s_h, eraser_r_1,
-                       eraser_r_2):
+                       noise_scratch, *, c_img, height, width, max_shift,
+                       noise_mean_sd, exposure_mean_sd, eraser_s_l,
+                       eraser_s_h, eraser_r_1, eraser_r_2):
     i = pl.program_id(0)
     pltpu.prng_seed(seeds_ref[i])
     x = x_ref[:]                     # [C_tot, H, W] float32
@@ -292,11 +292,26 @@ def _cheap_pass_kernel(seeds_ref, perm_ref, num_ref, win_ref, x_ref, out_ref,
     shift = jnp.where(direction, shift, -shift)
     do_roll = _uniform_scalar() < 0.5
     img_fill = _uniform((c_tot, 1)) * 255.0  # only image rows used
-    # noise / exposure
+    # noise / exposure scalars
     noise_sd = jnp.abs(noise_mean_sd + _gaussian((1, 1))[0, 0])
-    noise = noise_sd * _gaussian((c_tot, height, width))
     exp_sd = jnp.abs(exposure_mean_sd + _gaussian((1, 1))[0, 0])
     exp_shift = exp_sd * _gaussian((1, 1))[0, 0]
+
+    # The full-size gaussian noise tensor is the kernel's one expensive draw
+    # (c_tot*H*W Box-Muller transcendentals); generate it ONLY when this
+    # pass actually applies the noise op. Drawn last, so skipping it leaves
+    # every other draw's stream position unchanged; the gating decision
+    # comes from the independent jax.random perm/count stream, so draw
+    # values stay unbiased.
+    noise_needed = jnp.int32(0)
+    for s in range(META_NUM_FUNCS):
+        applies_noise = ((s >= lo) & (s < hi) & (s < num_to_apply)
+                         & (perm_ref[i, s] == 3))
+        noise_needed = noise_needed | applies_noise.astype(jnp.int32)
+
+    @pl.when(noise_needed == 1)
+    def _():
+        noise_scratch[:] = noise_sd * _gaussian((c_tot, height, width))
 
     rev_w = _reverse_matrix(width)
     rows = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
@@ -331,7 +346,10 @@ def _cheap_pass_kernel(seeds_ref, perm_ref, num_ref, win_ref, x_ref, out_ref,
                           preferred_element_type=jnp.float32)
 
     def apply_noise(v):
-        return jnp.where(is_img, jnp.clip(v + noise, 0.0, 255.0), v)
+        # Scratch read inside the branch: only executed when the noise op
+        # is selected, i.e. after the pl.when above filled it.
+        return jnp.where(is_img, jnp.clip(v + noise_scratch[:], 0.0, 255.0),
+                         v)
 
     def apply_exposure(v):
         return jnp.where(is_img, jnp.clip(v + exp_shift, 0.0, 255.0), v)
@@ -385,6 +403,7 @@ def cheap_pass(seeds: jnp.ndarray, x: jnp.ndarray, perm: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((None, c_tot, h, w), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c_tot, h, w), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
