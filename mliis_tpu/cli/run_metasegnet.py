@@ -158,7 +158,8 @@ def _main_impl(args, start_time):
             model, loss_cfg, opt_cfg, val_store, num_shots=args.shots,
             replacement=args.replacement, augment=args.augment,
             weight_decay_rate=args.weight_decay,
-            task_chunk_size=args.task_chunk_size, mesh=mesh)
+            task_chunk_size=args.task_chunk_size, mesh=mesh,
+            pallas_augment=args_lib._pallas_augment_mode(args))
         key, uho_key = jax.random.split(key)
         estimated_lr, estimated_steps = optimize_update_hyperparams(
             es_eval, state, uho_key, min_steps=args.min_steps,
@@ -220,7 +221,9 @@ def _main_impl(args, start_time):
             iter_range=args.k_shot_iter_range,
             eval_inner_batch_size=args.eval_batch,
             lr=eval_lr if eval_lr is not None else args.learning_rate,
-            aug_rate=args.aug_rate, **kshot_kwargs)
+            aug_rate=args.aug_rate,
+            pallas_augment=args_lib._pallas_augment_mode(args),
+            **kshot_kwargs)
         return
 
     # lr None means "model default" in the reference; our engine takes the

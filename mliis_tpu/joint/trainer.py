@@ -299,10 +299,14 @@ class JointTrainer:
             out_specs=(P(), P()),
             check_vma=False)
         jitted = jax.jit(sharded, donate_argnums=(0,))
-        # Replicate the example stores once (they are shard_map inputs).
+        # Replicate the example stores once (they are shard_map inputs) and
+        # drop the single-device copies from __init__ — in sharded mode
+        # nothing reads them, and keeping both doubles the dataset's HBM.
         replicated = NamedSharding(mesh, P())
         images_r = jax.device_put(self._images, replicated)
         labels_r = jax.device_put(self._labels, replicated)
+        self._images = images_r
+        self._labels = labels_r
 
         def launch(state: ModelState, batch_idx, keys, lr):
             return jitted(state, images_r, labels_r, batch_idx, keys, lr)

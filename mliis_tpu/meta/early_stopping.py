@@ -79,7 +79,8 @@ def make_early_stopping_trace_fn(model, loss_config: LossConfig,
                                  augment: bool = True,
                                  weight_decay_rate: float = 1.0,
                                  support_size: int, val_size: int,
-                                 precompute_augment: bool = False):
+                                 precompute_augment: bool = False,
+                                 pallas_augment=None):
     """Build trace(state, support u8, val u8, key, lr, drop_rate, aug_rate)
     -> [max_steps] val mIoU after each inner step.
 
@@ -90,7 +91,8 @@ def make_early_stopping_trace_fn(model, loss_config: LossConfig,
     from mliis_tpu.meta.inner_loop import make_loss_and_grad, apply_optimizer
     from mliis_tpu.ops import meta_math
     step_fn = sgd_scan_step(model, loss_config, opt_config,
-                            weight_decay_rate=weight_decay_rate)
+                            weight_decay_rate=weight_decay_rate,
+                            pallas_augment=pallas_augment)
     loss_and_grad = make_loss_and_grad(model, loss_config)
 
     def trace_fn(state: ModelState, support_images_u8, support_masks_u8,

@@ -41,11 +41,13 @@ class EvaluatorCache:
     """
 
     def __init__(self, model, loss_config: LossConfig,
-                 opt_config: OptimizerConfig, store: TaskStore):
+                 opt_config: OptimizerConfig, store: TaskStore,
+                 pallas_augment=None):
         self.model = model
         self.loss_config = loss_config
         self.opt_config = opt_config
         self.store = store
+        self.pallas_augment = pallas_augment
         self._gecko: Dict[EvalConfig, GeckoEvaluator] = {}
         self._es: Dict[Tuple[int, int], EarlyStoppingEvaluator] = {}
         self.constructions = 0
@@ -67,7 +69,7 @@ class EvaluatorCache:
             ev = EarlyStoppingEvaluator(
                 self.model, self.loss_config, self.opt_config, self.store,
                 num_shots=num_shots, test_shots=test_shots, augment=True,
-                task_chunk_size=1)
+                task_chunk_size=1, pallas_augment=self.pallas_augment)
             self._es[key] = ev
             self.constructions += 1
         return ev
@@ -85,10 +87,12 @@ def evaluate_k_shot_range(model, loss_config: LossConfig,
                           estimate_inner_iters_with_early_stopping: bool = True,
                           max_es_steps: int = 500,
                           cache: Optional[EvaluatorCache] = None,
+                          pallas_augment=None,
                           log_fn=print) -> List[float]:
     """mIoU for one task across the k-range."""
     if cache is None:
-        cache = EvaluatorCache(model, loss_config, opt_config, task_store)
+        cache = EvaluatorCache(model, loss_config, opt_config, task_store,
+                               pallas_augment=pallas_augment)
     count = int(task_store.counts[task_index])
     test_samples = min(test_samples, max(count - 1, 1))
     mious = []
@@ -111,7 +115,9 @@ def evaluate_k_shot_range(model, loss_config: LossConfig,
         eval_cfg = EvalConfig(num_shots=k_eff, test_shots=test_samples,
                               inner_batch_size=min(inner_batch_size, k_eff),
                               inner_iters=inner_iters, transductive=True,
-                              augment=True, task_chunk_size=1)
+                              augment=True,
+                              pallas_augment=cache.pallas_augment,
+                              task_chunk_size=1)
         evaluator = cache.gecko(eval_cfg)
         key, sub = jax.random.split(key)
         per_task = evaluator.evaluate_tasks(state, [task_index], sub, lr,
@@ -130,12 +136,14 @@ def run_k_shot_learning_curves_experiment(
         aug_rate: float = 0.5, test_samples: int = 20,
         csv_outpath: Optional[str] = "k-shot-results.csv",
         cache: Optional[EvaluatorCache] = None,
+        pallas_augment=None,
         log_fn=print) -> Tuple[List[int], List[float]]:
     """m repetitions x tasks x k-range; returns (ks, mIoUs) and appends CSV."""
     if iter_range is None:
         iter_range = DEFAULT_ITER_RANGE
     if cache is None:
-        cache = EvaluatorCache(model, loss_config, opt_config, dataset)
+        cache = EvaluatorCache(model, loss_config, opt_config, dataset,
+                               pallas_augment=pallas_augment)
     ks: List[int] = []
     results: List[float] = []
     for task_index in range(dataset.num_tasks):

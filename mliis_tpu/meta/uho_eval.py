@@ -38,7 +38,8 @@ class EarlyStoppingEvaluator:
                  num_shots: int = 5, test_shots: int = 5,
                  replacement: bool = False, augment: bool = True,
                  weight_decay_rate: float = 1.0, patience: int = 50,
-                 task_chunk_size: int = 4, mesh=None):
+                 task_chunk_size: int = 4, mesh=None,
+                 pallas_augment=None):
         self.model = model
         self.loss_config = loss_config
         self.opt_config = opt_config
@@ -50,6 +51,7 @@ class EarlyStoppingEvaluator:
         self.weight_decay_rate = weight_decay_rate
         self.patience = patience
         self.mesh = mesh
+        self.pallas_augment = pallas_augment
         if mesh is not None:
             from mliis_tpu.parallel.mesh import TASK_AXIS
             n_dev = mesh.shape[TASK_AXIS]
@@ -71,7 +73,8 @@ class EarlyStoppingEvaluator:
             max_steps=max_steps, inner_batch_size=inner_batch_size,
             replacement=self.replacement, augment=self.augment,
             weight_decay_rate=self.weight_decay_rate,
-            support_size=self.num_shots, val_size=self.test_shots)
+            support_size=self.num_shots, val_size=self.test_shots,
+            pallas_augment=self.pallas_augment)
         total = self.num_shots + self.test_shots
 
         def per_task(state, task_images, task_masks, count, key, lr,
@@ -164,6 +167,7 @@ class EarlyStoppingEvaluator:
                 inner_iters=max(estimated_best_num_steps, 1),
                 replacement=self.replacement, augment=self.augment,
                 weight_decay_rate=self.weight_decay_rate,
+                pallas_augment=self.pallas_augment,
                 task_chunk_size=self.task_chunk_size)
             evaluator = self._gecko_cache.get(eval_cfg)
             if evaluator is None:

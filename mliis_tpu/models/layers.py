@@ -75,9 +75,12 @@ class FusedBatchNorm(nn.Module):
                                nn.initializers.ones, None, (features,),
                                jnp.float32)
 
-        # Like flax nn.BatchNorm: initialization uses the running stats, so
-        # a sync-BN model (axis_name set) can init outside its mesh without
-        # binding the collective axis.
+        # Initialization uses the running stats so a sync-BN model
+        # (axis_name set) can init outside its mesh without binding the
+        # collective axis. Deliberate deviation from flax nn.BatchNorm,
+        # which computes batch statistics during init (with the collective
+        # suppressed); benign here because init only fixes shapes and the
+        # fresh running stats are (0, 1).
         if use_running_average or self.is_initializing():
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -89,10 +92,9 @@ class FusedBatchNorm(nn.Module):
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
             var = mean2 - jnp.square(mean)
-            if not self.is_initializing():
-                m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * var
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale      # f32 [C]
         add = bias - mean * inv                              # f32 [C]

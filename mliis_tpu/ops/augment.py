@@ -63,11 +63,6 @@ def _bg_fill_vec(c_img: int, c_tot: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.zeros((c_tot - c_img,), dtype).at[0].set(1.0)
 
 
-def _image_chan_mask(c_img: int, c_tot: int) -> jnp.ndarray:
-    """[C_tot, 1, 1] float 1.0 on image planes, 0.0 on mask planes."""
-    return (jnp.arange(c_tot) < c_img).astype(jnp.float32)[:, None, None]
-
-
 # --------------------------------------------------------------------------
 # Planar augmentation cores: f(key, x, c_img) -> x with x: [C, H, W].
 # Random-draw order matches the original channel-last implementations so a

@@ -115,6 +115,23 @@ def test_kshot_evaluator_cache_constant_across_tasks_and_reps():
     assert cache.early_stopping(8, 2) is cache.early_stopping(8, 2)
 
 
+def test_kshot_cache_threads_pallas_augment_mode():
+    """--pallas_augment off must reach the k-shot/ES evaluation paths (the
+    auto default would otherwise silently re-enable the kernel on TPU)."""
+    from mliis_tpu.meta.kshot import EvaluatorCache
+    store = make_synthetic_store(num_tasks=2, examples_per_task=6,
+                                 image_size=IMG)
+    cache = EvaluatorCache(TinySeg(), LossConfig(l2=False),
+                           OptimizerConfig("sgd"), store,
+                           pallas_augment=False)
+    assert cache.early_stopping(4, 2).pallas_augment is False
+    from mliis_tpu.meta.evaluate import EvalConfig
+    cfg = EvalConfig(num_shots=4, test_shots=2, inner_batch_size=2,
+                     inner_iters=1, pallas_augment=cache.pallas_augment,
+                     task_chunk_size=1)
+    assert cache.gecko(cfg).config.pallas_augment is False
+
+
 def test_joint_trainer_pallas_augment_path(tmp_path):
     """--pallas_augment on: the joint path's augmentation runs through
     ops/pallas_augment.fused_light_augment (interpret mode off-TPU)."""
