@@ -79,7 +79,7 @@ def main():
                                            make_loss_and_grad,
                                            apply_optimizer)
     from mliis_tpu.meta.learners import (MetaTrainConfig,
-                                         make_microbatched_train_step)
+                                         make_chained_train_step)
     from mliis_tpu.models.efficientlab import EfficientLab
 
     meta_batch = 5
@@ -102,15 +102,18 @@ def main():
     cfg = MetaTrainConfig(num_shots=10, inner_batch_size=inner_batch,
                           inner_iters=inner_iters, meta_batch_size=meta_batch,
                           foml=True, tail_shots=5, aug_rate=0.5)
-    # The meta-batch runs in task groups with host-side linear combination
-    # (the outer update is linear in per-task results) — on a real v5e-8 the
-    # 5 tasks shard across chips instead (parallel/mesh.py). Round-3
-    # group-size sweep on v5e (planar/DFT augmentation, fused BN, Pallas
-    # cheap pass): per-task step time RISES with vmap width (0.314 s/task at
-    # group 1, 0.352 at 2, 0.360 at 3 — HBM pressure), so single-task
-    # launches win: 5x1 -> ~1.6 s/meta-step vs 2+2+1 -> 1.72 s.
-    train_step = make_microbatched_train_step(model, loss_cfg, opt_cfg, cfg,
-                                              n_max=10, group_size=1)
+    # The meta-batch runs SEQUENTIALLY inside one compiled launch (lax.scan
+    # over task slots) — on a real v5e-8 the 5 tasks shard across chips
+    # instead (parallel/mesh.py). Round-3 group-size sweep on v5e (planar/
+    # DFT augmentation, fused BN, Pallas cheap pass): per-task step time
+    # RISES with vmap width (0.314 s/task at group 1, 0.352 at 2, 0.360 at
+    # 3 — HBM pressure), so single-task execution wins; chaining the 5
+    # single-task adaptations into ONE launch removes the ~18 ms/launch
+    # host gaps and the separate combine program on top (measured 1.368 s
+    # vs 1.394 s for 5x g1 launches + combine, same session).
+    train_step = jax.jit(make_chained_train_step(model, loss_cfg, opt_cfg,
+                                                 cfg, n_max=10),
+                         donate_argnums=(0,))
     imgs = jnp.asarray(store.images)
     msks = jnp.asarray(store.masks)
     cnts = jnp.asarray(store.counts)
@@ -189,9 +192,12 @@ def main():
 
     # Eval throughput: 59-step adaptation + transductive predict per task.
     from mliis_tpu.meta.evaluate import EvalConfig, GeckoEvaluator
+    # chain_chunk: the 8 tasks run sequentially inside ONE compiled launch
+    # (single-task activation footprint, no per-task launch gaps) — measured
+    # 3.99 vs 2.59 tasks/s against per-task vmap-1 launches on v5e.
     eval_cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=8,
                           inner_iters=59, transductive=True, augment=True,
-                          task_chunk_size=1)
+                          task_chunk_size=8, chain_chunk=True)
     evaluator = GeckoEvaluator(model, loss_cfg, opt_cfg, eval_cfg, store)
     evaluator.evaluate_tasks(state, [0], jax.random.PRNGKey(7), 5e-4,
                              aug_rate=0.5)  # compile

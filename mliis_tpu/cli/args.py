@@ -141,6 +141,15 @@ def argument_parser():
     add('--task_group_size', type=int, default=0,
         help='Meta-batch task group size per device launch during '
              'meta-training (0 = whole meta-batch in one launch).')
+    add('--chain_tasks', action='store_true',
+        help='Run the meta-batch sequentially inside ONE compiled launch '
+             '(lax.scan over task slots): the single-task HBM footprint of '
+             '--task_group_size 1 without its per-group launch gaps. '
+             'Same random draws as the single-launch step.')
+    add('--chain_eval_chunk', action='store_true',
+        help='Run each evaluation task chunk sequentially inside the '
+             'compiled chunk program (lax.map) instead of vmapping it: '
+             'single-task activation footprint at any --task_chunk_size.')
     add('--mesh_tasks', type=int, default=0,
         help='If > 0, shard eval/meta-batch over this many devices along a '
              '"task" mesh axis.')
@@ -221,7 +230,9 @@ def train_loop_config(args) -> TrainLoopConfig:
         transductive=args.transductive,
         aug_rate=args.aug_rate,
         task_group_size=args.task_group_size or None,
-        mesh_tasks=args.mesh_tasks)
+        mesh_tasks=args.mesh_tasks,
+        chain_tasks=args.chain_tasks,
+        chain_eval_chunk=args.chain_eval_chunk)
 
 
 def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
@@ -240,4 +251,5 @@ def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
         lr_decay_rate=args.step_decay_rate,
         lr_decay_after_n_steps=args.decay_after_n_steps,
         use_batch_stats_at_predict=args.use_batch_stats_at_predict,
-        task_chunk_size=args.task_chunk_size)
+        task_chunk_size=args.task_chunk_size,
+        chain_chunk=args.chain_eval_chunk)

@@ -75,6 +75,12 @@ class EvalConfig:
     # Tasks vmapped per device launch: 2 full 59-step 224px inner loops fit
     # a 16 GB v5e chip at bf16; raise for smaller configs.
     task_chunk_size: int = 2
+    # Run the chunk's tasks sequentially INSIDE the program (lax.map) instead
+    # of vmapping them: single-task activation footprint regardless of
+    # task_chunk_size, while launch overhead amortizes over the chunk. Wins
+    # on v5e where per-task time rises with vmap width (HBM pressure); pair
+    # with a larger task_chunk_size (e.g. 8).
+    chain_chunk: bool = False
 
 
 def make_eval_task_fn(model, loss_config: LossConfig,
@@ -178,9 +184,18 @@ class GeckoEvaluator:
             eval_task = make_eval_task_fn(model, loss_config, opt_config,
                                           config,
                                           n_max=store.images.shape[1])
-            vmapped = jax.vmap(eval_task,
-                               in_axes=(None, 0, 0, 0, 0, None, None, None))
-            self._eval_chunk = jax.jit(vmapped)
+            if config.chain_chunk:
+                def chunk_fn(state, imgs, msks, cnts, keys, lr, drop_rate,
+                             aug_rate):
+                    return jax.lax.map(
+                        lambda xs: eval_task(state, xs[0], xs[1], xs[2],
+                                             xs[3], lr, drop_rate, aug_rate),
+                        (imgs, msks, cnts, keys))
+                self._eval_chunk = jax.jit(chunk_fn)
+            else:
+                vmapped = jax.vmap(
+                    eval_task, in_axes=(None, 0, 0, 0, 0, None, None, None))
+                self._eval_chunk = jax.jit(vmapped)
 
     def _default_drop_rate(self) -> float:
         """None drop_rate means "model default" — the placeholder-default

@@ -231,6 +231,65 @@ def make_fomaml_train_step(model, loss_config, opt_config, config, n_max):
     return make_train_step(model, loss_config, opt_config, config, n_max)
 
 
+def make_chained_train_step(model, loss_config: LossConfig,
+                            opt_config: OptimizerConfig,
+                            config: MetaTrainConfig, n_max: int):
+    """Single-launch meta-step that runs the meta-batch SEQUENTIALLY inside
+    the compiled program (lax.scan over task slots) instead of vmapping it.
+
+    Identical random draws and outer-update math to make_train_step — the
+    per-slot keys come from the same slot-indexed streams — but the
+    activation working set is ONE task's inner loop at a time, like the
+    group_size=1 microbatched path, while the whole meta-step stays a single
+    device launch: no host dispatch gaps between tasks and no separate
+    combine program. The update/BN/optimizer means accumulate as running
+    sums in the scan carry (3 param-sized trees, a few tens of MB).
+
+    Measured v5e motivation (round 3): per-task step time RISES with vmap
+    width (HBM pressure), so 5 single-task launches beat one 5-wide launch —
+    but those 5 launches pay ~18 ms of host gap each plus a combine launch.
+    Chaining keeps the single-task memory profile and removes the gaps.
+    """
+    per_task = make_per_task_fn(model, loss_config, opt_config, config, n_max)
+    m = config.meta_batch_size
+
+    def train_step(state: ModelState, store_images, store_masks, counts, key,
+                   meta_step_size, lr) -> ModelState:
+        k_tasks, k_inner = jax.random.split(key)
+        num_tasks = store_images.shape[0]
+        task_ids = episodes.slot_task_ids(k_tasks, num_tasks, m)
+        task_keys = episodes.slot_keys(k_inner, m)
+
+        def body(carry, xs):
+            tid, tkey = xs
+            update, final = per_task(
+                state, jnp.take(store_images, tid, axis=0),
+                jnp.take(store_masks, tid, axis=0),
+                jnp.take(counts, tid, axis=0), tkey, lr)
+            sum_u, sum_bn, sum_v, _ = carry
+            return (meta_math.tree_add(sum_u, update),
+                    meta_math.tree_add(sum_bn, final.batch_stats),
+                    meta_math.tree_add(sum_v, final.opt.v),
+                    final.opt.step), None
+
+        zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+        init = (zeros(state.params), zeros(state.batch_stats),
+                zeros(state.opt.v), state.opt.step)
+        (sum_u, sum_bn, sum_v, last_step), _ = jax.lax.scan(
+            body, init, (task_ids, task_keys))
+
+        inv_m = 1.0 / m
+        new_params = apply_outer_update(state,
+                                        meta_math.tree_scale(sum_u, inv_m),
+                                        meta_step_size, config.foml)
+        new_opt = state.opt._replace(v=meta_math.tree_scale(sum_v, inv_m),
+                                     step=last_step)
+        return ModelState(new_params, meta_math.tree_scale(sum_bn, inv_m),
+                          new_opt)
+
+    return train_step
+
+
 def make_group_train_step(model, loss_config: LossConfig,
                           opt_config: OptimizerConfig,
                           config: MetaTrainConfig, n_max: int,

@@ -19,6 +19,7 @@ from mliis_tpu.data.task_store import TaskStore
 from mliis_tpu.meta.evaluate import EvalConfig, GeckoEvaluator
 from mliis_tpu.meta.inner_loop import LossConfig, ModelState, OptimizerConfig
 from mliis_tpu.meta.learners import (MetaTrainConfig,
+                                     make_chained_train_step,
                                      make_microbatched_train_step,
                                      make_train_step,
                                      meta_step_size_schedule)
@@ -53,6 +54,13 @@ class TrainLoopConfig:
     # task_group_size: sharding already divides per-chip HBM pressure by the
     # mesh size.
     mesh_tasks: int = 0
+    # Run the meta-batch sequentially INSIDE one compiled launch (lax.scan
+    # over task slots, learners.make_chained_train_step): the single-task
+    # activation footprint of task_group_size=1 without its per-group launch
+    # gaps. Ignored when mesh_tasks is set.
+    chain_tasks: bool = False
+    # Same strategy for the eval-interval evaluators' chunks (lax.map).
+    chain_eval_chunk: bool = False
 
 
 def train_gecko(model, state: ModelState, train_store: TaskStore,
@@ -73,6 +81,12 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
         train_step = make_sharded_train_step(
             model, loss_config, opt_config, meta_config,
             n_max=train_store.images.shape[1], mesh=mesh)
+    elif cfg.chain_tasks:
+        train_step = jax.jit(
+            make_chained_train_step(model, loss_config, opt_config,
+                                    meta_config,
+                                    n_max=train_store.images.shape[1]),
+            donate_argnums=(0,))
     elif cfg.task_group_size:
         train_step = make_microbatched_train_step(
             model, loss_config, opt_config, meta_config,
@@ -91,7 +105,8 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
         transductive=cfg.transductive,
         augment=meta_config.augment,
         weight_decay_rate=meta_config.weight_decay_rate,
-        task_chunk_size=eval_task_chunk_size)
+        task_chunk_size=eval_task_chunk_size,
+        chain_chunk=cfg.chain_eval_chunk)
     evaluators = {
         "train": GeckoEvaluator(model, loss_config, opt_config, eval_cfg,
                                 train_store, mesh=mesh),

@@ -125,6 +125,17 @@ def test_rng_impl_flag_parses():
     assert args_lib.argument_parser().parse_args([]).rng_impl == "threefry"
 
 
+def test_chain_flags_reach_configs():
+    a = args_lib.argument_parser().parse_args(["--chain_tasks",
+                                               "--chain_eval_chunk"])
+    assert args_lib.train_loop_config(a).chain_tasks
+    assert args_lib.train_loop_config(a).chain_eval_chunk
+    assert args_lib.eval_config(a).chain_chunk
+    default = args_lib.argument_parser().parse_args([])
+    assert not args_lib.train_loop_config(default).chain_tasks
+    assert not args_lib.eval_config(default).chain_chunk
+
+
 def test_precompute_augment_flag_reaches_both_configs():
     a = args_lib.argument_parser().parse_args(["--precompute_augment"])
     assert args_lib.meta_train_config(a).precompute_augment

@@ -48,6 +48,23 @@ def test_evaluate_subsample(setup):
     assert len(task_map) == 2
 
 
+def test_chained_chunk_matches_vmapped(setup):
+    """chain_chunk (lax.map over the chunk) must reproduce the vmapped
+    chunk's per-task IoUs: the per-task math is identical, only the batching
+    strategy differs."""
+    store, model, loss_cfg, opt_cfg, state = setup
+    base = dict(num_shots=5, test_shots=5, inner_batch_size=4, inner_iters=3,
+                task_chunk_size=3)
+    ev_vmap = GeckoEvaluator(model, loss_cfg, opt_cfg,
+                             EvalConfig(chain_chunk=False, **base), store)
+    ev_chain = GeckoEvaluator(model, loss_cfg, opt_cfg,
+                              EvalConfig(chain_chunk=True, **base), store)
+    idx = list(range(store.num_tasks))
+    a = ev_vmap.evaluate_tasks(state, idx, jax.random.PRNGKey(5), 0.01)
+    b = ev_chain.evaluate_tasks(state, idx, jax.random.PRNGKey(5), 0.01)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_state_is_never_mutated(setup):
     """The pure-functional analogue of _full_state export/import: evaluating
     must leave the caller's state bit-identical."""

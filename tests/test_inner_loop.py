@@ -11,6 +11,7 @@ from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
                                        init_opt_state, make_adapt_fn,
                                        schedule_lrs)
 from mliis_tpu.meta.learners import (MetaTrainConfig, apply_outer_update,
+                                     make_chained_train_step,
                                      make_group_train_step,
                                      make_microbatched_train_step,
                                      make_per_task_fn, make_train_step,
@@ -277,6 +278,34 @@ def test_microbatched_pad_modes_agree(setup):
     for x, y in zip(jax.tree_util.tree_leaves(a.params),
                     jax.tree_util.tree_leaves(b.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+@pytest.mark.parametrize("foml,tail", [(False, None), (True, 2)])
+def test_chained_step_matches_plain(setup, foml, tail):
+    """The scan-over-slots chained step draws the same slot-keyed episodes
+    as the vmapped plain step, so params, BN stats, and optimizer slots must
+    agree (only the mean's reduction order differs)."""
+    store, model, opt_cfg, state = setup
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3, inner_iters=2,
+                          meta_batch_size=3, foml=foml, tail_shots=tail,
+                          augment=False)
+    plain = jax.jit(make_train_step(model, LossConfig(l2=False), opt_cfg,
+                                    cfg, n_max=10))
+    chained = jax.jit(make_chained_train_step(model, LossConfig(l2=False),
+                                              opt_cfg, cfg, n_max=10))
+    args = (jnp.asarray(store.images), jnp.asarray(store.masks),
+            jnp.asarray(store.counts), jax.random.PRNGKey(17),
+            jnp.float32(0.3), jnp.float32(0.01))
+    a = plain(state, *args)
+    b = chained(state, *args)
+    for tree_a, tree_b in ((a.params, b.params),
+                           (a.batch_stats, b.batch_stats),
+                           (a.opt.v, b.opt.v)):
+        for x, y in zip(jax.tree_util.tree_leaves(tree_a),
+                        jax.tree_util.tree_leaves(tree_b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6)
+    assert int(a.opt.step) == int(b.opt.step)
 
 
 def test_meta_step_size_schedule():

@@ -74,3 +74,14 @@ def test_train_gecko_microbatched_runs(setup, tmp_path):
     out, save_dir, logs = _run(setup, tmp_path, "micro", task_group_size=2)
     for leaf in jax.tree_util.tree_leaves(out.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_train_gecko_chained_matches_plain(setup, tmp_path):
+    """--chain_tasks runs the same slot-keyed episodes inside one launch, so
+    3 driver iterations must land on the plain step's params."""
+    plain, _, _ = _run(setup, tmp_path, "plain2")
+    chained, _, logs = _run(setup, tmp_path, "chained", chain_tasks=True)
+    for a, b in zip(jax.tree_util.tree_leaves(plain.params),
+                    jax.tree_util.tree_leaves(chained.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    assert any("Train step" in str(line) for line in logs)
