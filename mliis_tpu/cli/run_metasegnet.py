@@ -159,7 +159,8 @@ def _main_impl(args, start_time):
             replacement=args.replacement, augment=args.augment,
             weight_decay_rate=args.weight_decay,
             task_chunk_size=args.task_chunk_size, mesh=mesh,
-            pallas_augment=args_lib._pallas_augment_mode(args))
+            pallas_augment=args_lib._pallas_augment_mode(args),
+            chain_chunk=args.chain_eval_chunk)
         key, uho_key = jax.random.split(key)
         estimated_lr, estimated_steps = optimize_update_hyperparams(
             es_eval, state, uho_key, min_steps=args.min_steps,

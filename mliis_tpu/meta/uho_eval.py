@@ -39,7 +39,7 @@ class EarlyStoppingEvaluator:
                  replacement: bool = False, augment: bool = True,
                  weight_decay_rate: float = 1.0, patience: int = 50,
                  task_chunk_size: int = 4, mesh=None,
-                 pallas_augment=None):
+                 pallas_augment=None, chain_chunk: bool = False):
         self.model = model
         self.loss_config = loss_config
         self.opt_config = opt_config
@@ -52,6 +52,7 @@ class EarlyStoppingEvaluator:
         self.patience = patience
         self.mesh = mesh
         self.pallas_augment = pallas_augment
+        self.chain_chunk = chain_chunk and mesh is None
         if mesh is not None:
             from mliis_tpu.parallel.mesh import TASK_AXIS
             n_dev = mesh.shape[TASK_AXIS]
@@ -90,8 +91,18 @@ class EarlyStoppingEvaluator:
                             task_images[val], task_masks[val], k_trace, lr,
                             drop_rate, aug_rate)
 
-        vmapped = jax.vmap(per_task,
-                           in_axes=(None, 0, 0, 0, 0, None, None, None))
+        if self.chain_chunk:
+            # Sequential tasks inside the program (see EvalConfig.
+            # chain_chunk): single-task activation footprint for the
+            # max_steps-bounded trace scans at any chunk size.
+            def vmapped(state, imgs, msks, cnts, keys, lr, dr, ar):
+                return jax.lax.map(
+                    lambda xs: per_task(state, xs[0], xs[1], xs[2], xs[3],
+                                        lr, dr, ar),
+                    (imgs, msks, cnts, keys))
+        else:
+            vmapped = jax.vmap(per_task,
+                               in_axes=(None, 0, 0, 0, 0, None, None, None))
         if self.mesh is not None:
             # Chunk's task dim shards over the mesh "task" axis, like
             # parallel.mesh.make_sharded_eval_chunk.
@@ -168,7 +179,8 @@ class EarlyStoppingEvaluator:
                 replacement=self.replacement, augment=self.augment,
                 weight_decay_rate=self.weight_decay_rate,
                 pallas_augment=self.pallas_augment,
-                task_chunk_size=self.task_chunk_size)
+                task_chunk_size=self.task_chunk_size,
+                chain_chunk=self.chain_chunk)
             evaluator = self._gecko_cache.get(eval_cfg)
             if evaluator is None:
                 evaluator = GeckoEvaluator(self.model, self.loss_config,

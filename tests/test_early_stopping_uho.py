@@ -163,6 +163,25 @@ def test_optimize_update_hyperparams_driver(es_setup, tmp_path):
     assert glob.glob(str(tmp_path / "*.csv"))
 
 
+def test_early_stopping_chained_matches_vmapped(es_setup):
+    """chain_chunk (lax.map traces) must reproduce the vmapped evaluator's
+    step counts and IoUs for identical keys."""
+    ev, state = es_setup
+    chained = EarlyStoppingEvaluator(ev.model, ev.loss_config, ev.opt_config,
+                                     ev.store, num_shots=5, test_shots=5,
+                                     augment=False, patience=3,
+                                     task_chunk_size=3, chain_chunk=True)
+    a = ev.evaluate_with_early_stopping(
+        state, jax.random.PRNGKey(9), min_steps=1, max_steps=6,
+        inner_batch_size=4, lr=0.02, eval_all_tasks=True)
+    b = chained.evaluate_with_early_stopping(
+        state, jax.random.PRNGKey(9), min_steps=1, max_steps=6,
+        inner_batch_size=4, lr=0.02, eval_all_tasks=True)
+    assert a[0] == b[0]
+    assert a[1] == b[1]
+    np.testing.assert_allclose(a[2], b[2], atol=1e-5)
+
+
 def test_early_stopping_mesh_matches_unsharded(es_setup):
     """Mesh-sharded early-stopping traces must match the unsharded ones for
     identical keys (same per-task kernel, tasks split across devices)."""
