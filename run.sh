@@ -17,4 +17,5 @@ python -m mliis_tpu.cli.run_metasegnet --fss_1000 --image_size 224 \
     --eval-interval 500 --serially_eval_all_test_tasks --eval-samples 2 \
     --shots 5 --eval-batch 8 --eval-iters 59 --transductive \
     --model_name efficientlab --meta-step 0.1 --meta-step-final 0.00001 \
+    --chain_tasks --chain_eval_chunk --task_chunk_size 8 \
     --checkpoint "${checkpoint_dir}" --data-dir "${data_dir}" "$@"
