@@ -180,7 +180,8 @@ def model_kwargs(args) -> dict:
     )
 
 
-def _pallas_augment_mode(args):
+def pallas_augment_mode(args):
+    """--pallas_augment {auto,on,off} -> None/True/False (auto = on-TPU)."""
     return {'auto': None, 'on': True, 'off': False}[args.pallas_augment]
 
 
@@ -211,7 +212,7 @@ def meta_train_config(args) -> MetaTrainConfig:
         aug_rate=args.aug_rate,
         weight_decay_rate=args.weight_decay,
         precompute_augment=args.precompute_augment,
-        pallas_augment=_pallas_augment_mode(args),
+        pallas_augment=pallas_augment_mode(args),
         lr_scheduler=args.learning_rate_scheduler,
         lr_decay_rate=args.step_decay_rate,
         lr_decay_after_n_steps=args.decay_after_n_steps)
@@ -245,7 +246,7 @@ def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
         transductive=args.transductive,
         augment=args.augment,
         precompute_augment=args.precompute_augment,
-        pallas_augment=_pallas_augment_mode(args),
+        pallas_augment=pallas_augment_mode(args),
         weight_decay_rate=args.weight_decay,
         lr_scheduler=args.learning_rate_scheduler,
         lr_decay_rate=args.step_decay_rate,

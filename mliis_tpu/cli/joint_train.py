@@ -9,6 +9,7 @@ import time
 
 import jax
 
+from mliis_tpu.cli import args as args_lib
 from mliis_tpu.data import manifests
 from mliis_tpu.data.synthetic import make_synthetic_store
 from mliis_tpu.data.task_store import load_task_store
@@ -125,8 +126,7 @@ def main(argv=None):
         label_smoothing=args.label_smoothing, augment=args.augment,
         l2=args.l2, eval_interval=args.eval_interval,
         val_batches=args.val_batches,
-        use_pallas_augment={'auto': None, 'on': True,
-                            'off': False}[args.pallas_augment])
+        use_pallas_augment=args_lib.pallas_augment_mode(args))
     trainer = JointTrainer(model, train_ds, test_ds, config, opt_cfg,
                            mesh=mesh)
     trainer.train(state, args.checkpoint, jax.random.PRNGKey(args.seed + 1))

@@ -159,7 +159,7 @@ def _main_impl(args, start_time):
             replacement=args.replacement, augment=args.augment,
             weight_decay_rate=args.weight_decay,
             task_chunk_size=args.task_chunk_size, mesh=mesh,
-            pallas_augment=args_lib._pallas_augment_mode(args),
+            pallas_augment=args_lib.pallas_augment_mode(args),
             chain_chunk=args.chain_eval_chunk)
         key, uho_key = jax.random.split(key)
         estimated_lr, estimated_steps = optimize_update_hyperparams(
@@ -223,7 +223,7 @@ def _main_impl(args, start_time):
             eval_inner_batch_size=args.eval_batch,
             lr=eval_lr if eval_lr is not None else args.learning_rate,
             aug_rate=args.aug_rate,
-            pallas_augment=args_lib._pallas_augment_mode(args),
+            pallas_augment=args_lib.pallas_augment_mode(args),
             **kshot_kwargs)
         return
 

@@ -160,7 +160,12 @@ class JointTrainer:
     /root/reference/models/efficientnet/utils.py:96-134 — its only
     distributed-communication code). With sync-BN the sharded step is
     numerically identical to the unsharded full-batch step (up to reduction
-    order); parity is asserted in tests/test_parallel.py.
+    order) for deterministic models: augmentation keys derive from GLOBAL
+    sample positions on both the jnp and Pallas branches. Stochastic
+    regularizers (dropout, the backbone's drop-connect) draw per-shard
+    streams — same distribution, different samples — so models using them
+    match the unsharded step only in distribution. Parity is asserted in
+    tests/test_parallel.py for both augmentation branches.
     """
 
     def __init__(self, model, dataset: JointDataset, val_dataset: JointDataset,
@@ -220,10 +225,13 @@ class JointTrainer:
                 from jax.experimental.pallas import tpu as pltpu
                 from mliis_tpu.ops.pallas_augment import \
                     fused_light_augment
-                k_seed = (jax.random.fold_in(k_aug, sample_offset)
-                          if axis_name is not None else k_aug)
-                seeds = jax.random.randint(
-                    k_seed, (images.shape[0],), 0, jnp.iinfo(jnp.int32).max)
+                # Per-GLOBAL-sample seeds (like the jnp branch below) so the
+                # sharded step draws exactly the augmentations the unsharded
+                # full-batch step would.
+                positions = sample_offset + jnp.arange(images.shape[0])
+                seeds = jax.vmap(lambda i: jax.random.randint(
+                    jax.random.fold_in(k_aug, i), (), 0,
+                    jnp.iinfo(jnp.int32).max))(positions)
                 ctx = (pltpu.force_tpu_interpret_mode()
                        if self._pallas_interpret
                        else contextlib.nullcontext())

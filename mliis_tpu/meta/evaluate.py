@@ -42,7 +42,8 @@ def device_store_arrays(store: TaskStore) -> Tuple:
     otherwise each upload their own ~2 GB FSS-1000 copy into HBM); caching on
     the instance ties the HBM copy's lifetime to the store and cannot alias
     across stores the way an id()-keyed cache can when ids are recycled
-    (e.g. kshot.py's throwaway per-task subset stores).
+    (short-lived stores built by converters/tests are garbage-collected and
+    a fresh store can land on the same id).
     """
     cached = getattr(store, "_device_arrays", None)
     if cached is None:

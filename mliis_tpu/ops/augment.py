@@ -587,15 +587,55 @@ def _compose_stagewise(perm, num_to_apply, fn_keys, image, mask, aug_funcs):
 
 def _compose_split_expensive(perm, num_to_apply, fn_keys, image, mask,
                              aug_funcs, exp_idx: int):
-    """Channel-last facade over the planar rotation-once composition."""
+    """Channel-last facade over the rotation-once composition.
+
+    Registered lists route through the planar stage loop; custom
+    (unregistered) lists keep the expensive-evaluated-once factorization on
+    (image, mask) pairs directly — same algebra, so a user-supplied
+    `aug_funcs` containing `rotate_img_mask` never regresses to computing
+    the rotation at all n stages (the vmapped-switch pathology)."""
     cores = _planar_cores_for(aug_funcs)
-    assert cores is not None, \
-        "split-expensive composition requires registered planar cores"
-    c_img = image.shape[-1]
-    x = _compose_split_expensive_planar(perm, num_to_apply, fn_keys,
-                                        _to_planar(image, mask), c_img,
-                                        cores, exp_idx)
-    return _from_planar(x, c_img)
+    if cores is not None:
+        c_img = image.shape[-1]
+        x = _compose_split_expensive_planar(perm, num_to_apply, fn_keys,
+                                            _to_planar(image, mask), c_img,
+                                            cores, exp_idx)
+        return _from_planar(x, c_img)
+
+    n = len(aug_funcs)
+    cheap = [f for i, f in enumerate(aug_funcs) if i != exp_idx]
+
+    def identity(k, im, mk):
+        del k
+        return im, mk
+
+    branches = [lambda k, im, mk, f=f: f(k, im, mk) for f in cheap]
+    branches.append(identity)
+    identity_slot = len(cheap)
+    cheap_index = [0] * n
+    ci = 0
+    for i in range(n):
+        if i != exp_idx:
+            cheap_index[i] = ci
+            ci += 1
+    cheap_index_arr = jnp.asarray(cheap_index)
+
+    exp_pos = jnp.argmax(perm == exp_idx)
+    exp_applied = exp_pos < num_to_apply
+
+    def cheap_pass(im, mk, active_fn):
+        for step in range(n):
+            applied = (step < num_to_apply) & active_fn(step)
+            idx = jnp.where(applied, cheap_index_arr[perm[step]],
+                            identity_slot)
+            im, mk = jax.lax.switch(idx, branches, fn_keys[step], im, mk)
+        return im, mk
+
+    im, mk = cheap_pass(image, mask, lambda s: s < exp_pos)
+    exp_im, exp_mk = aug_funcs[exp_idx](fn_keys[exp_pos], im, mk)
+    im = jnp.where(exp_applied, exp_im, im)
+    mk = jnp.where(exp_applied, exp_mk, mk)
+    return cheap_pass(im, mk, lambda s: s > exp_pos)
 
 
 def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
@@ -633,8 +673,13 @@ def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
                 perm, num_to_apply, fn_keys, x, c_img, cores)
         return _from_planar(jnp.where(skip, x, aug_x), c_img)
 
-    aug_img, aug_msk = _compose_stagewise(
-        perm, num_to_apply, fn_keys, image, mask, aug_funcs)
+    if rotate_img_mask in aug_funcs:
+        aug_img, aug_msk = _compose_split_expensive(
+            perm, num_to_apply, fn_keys, image, mask, aug_funcs,
+            list(aug_funcs).index(rotate_img_mask))
+    else:
+        aug_img, aug_msk = _compose_stagewise(
+            perm, num_to_apply, fn_keys, image, mask, aug_funcs)
     image = jnp.where(skip, image, aug_img)
     mask = jnp.where(skip, mask, aug_msk)
     return image, mask

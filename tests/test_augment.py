@@ -224,3 +224,59 @@ def test_split_expensive_composition_bit_identical():
                                    rtol=1e-3, atol=1e-2)
         mask_mismatch = np.mean(np.asarray(ref_m) != np.asarray(new_m))
         assert mask_mismatch < 0.005, mask_mismatch
+
+
+def test_custom_unregistered_list_keeps_rotation_once():
+    """A user-supplied aug_funcs list that is NOT in the planar registry
+    (e.g. partial-wrapped members) but contains rotate_img_mask must still
+    (a) dispatch through the rotation-once composition (not the
+    all-branches-per-stage switch — the vmapped-switch pathology CLAUDE.md
+    documents) and (b) match the direct stage loop for the same draws."""
+    import functools
+    from mliis_tpu.ops import augment
+    from mliis_tpu.ops.augment import (_compose_split_expensive,
+                                       _compose_stagewise, fliplr,
+                                       rotate_img_mask, translate)
+
+    wrapped_flip = functools.partial(fliplr)  # not in _PLANAR_CORES
+    funcs = (wrapped_flip, rotate_img_mask, translate)
+    assert augment._planar_cores_for(funcs) is None
+
+    rng = np.random.default_rng(7)
+    image = jnp.asarray(rng.integers(0, 256, (32, 32, 3)).astype(np.float32))
+    fg = (rng.random((32, 32)) > 0.5).astype(np.float32)
+    mask = jnp.stack([1.0 - fg, fg], axis=-1)
+    n = len(funcs)
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        k_perm, k_count, k_fns = jax.random.split(key, 3)
+        perm = jax.random.permutation(k_perm, n)
+        count = jax.random.randint(k_count, (), 1, n + 1)
+        fn_keys = jax.random.split(k_fns, n)
+        ref_i, ref_m = _compose_stagewise(perm, count, fn_keys, image, mask,
+                                          funcs)
+        new_i, new_m = _compose_split_expensive(perm, count, fn_keys, image,
+                                                mask, funcs, 1)
+        np.testing.assert_allclose(np.asarray(ref_i), np.asarray(new_i),
+                                   rtol=1e-3, atol=1e-2)
+        mask_mismatch = np.mean(np.asarray(ref_m) != np.asarray(new_m))
+        assert mask_mismatch < 0.005, mask_mismatch
+
+    # End-to-end dispatch: apply_augmentations with the custom list traces
+    # the rotation core exactly once (the rotation-once path), not once per
+    # stage as the stagewise switch would.
+    calls = []
+    real_rotate = augment._rotate_planar
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real_rotate(*a, **kw)
+
+    augment._rotate_planar = counting
+    try:
+        out_i, out_m = augment.apply_augmentations(
+            jax.random.PRNGKey(0), image, mask, 0.1, aug_funcs=funcs)
+    finally:
+        augment._rotate_planar = real_rotate
+    assert out_i.shape == image.shape and out_m.shape == mask.shape
+    assert len(calls) == 1, f"rotation traced {len(calls)}x, want once"

@@ -142,12 +142,15 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
-def test_data_parallel_joint_step_matches_unsharded():
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_data_parallel_joint_step_matches_unsharded(use_pallas):
     """The joint trainer's data-parallel launch (batch sharded over a "data"
     mesh axis, pmean'd grads, sync-BN) must match the unsharded full-batch
     launch bit-for-spec: same gathered samples, same per-global-sample
     augmentation keys, full-batch BN moments via pmean — the end-to-end
-    driver for the cross_replica_sum parity (utils.py:96-134)."""
+    driver for the cross_replica_sum parity (utils.py:96-134). Covers both
+    augmentation branches: jnp and the Pallas cheap-pass kernel (the TPU
+    default; interpret mode here) — each must seed per GLOBAL sample."""
     from mliis_tpu.joint.trainer import (JointTrainConfig, JointTrainer,
                                          joint_dataset_from_task_store)
     from mliis_tpu.parallel.mesh import make_data_mesh
@@ -157,7 +160,7 @@ def test_data_parallel_joint_step_matches_unsharded():
     ds = joint_dataset_from_task_store(store)
     opt_cfg = OptimizerConfig("sgd")
     cfg = JointTrainConfig(batch_size=8, augment=True, l2=False,
-                           steps_per_launch=3, use_pallas_augment=False)
+                           steps_per_launch=3, use_pallas_augment=use_pallas)
 
     plain_model = TinySeg(n_output_channels=ds.num_classes + 1)
     sync_model = TinySeg(n_output_channels=ds.num_classes + 1,
