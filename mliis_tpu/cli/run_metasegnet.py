@@ -221,6 +221,7 @@ def _main_impl(args, start_time):
             num_samples=args.eval_samples,
             iter_range=args.k_shot_iter_range,
             eval_inner_batch_size=args.eval_batch,
+            eval_inner_iters=eval_inner_iters,
             lr=eval_lr if eval_lr is not None else args.learning_rate,
             aug_rate=args.aug_rate,
             pallas_augment=args_lib.pallas_augment_mode(args),

@@ -83,6 +83,7 @@ def evaluate_k_shot_range(model, loss_config: LossConfig,
                           test_samples: int = 20,
                           inner_batch_size: int = 8, lr: float = 5e-4,
                           aug_rate: float = 0.5,
+                          eval_inner_iters: int = 5,
                           early_stopping_min_val_samples: int = 5,
                           estimate_inner_iters_with_early_stopping: bool = True,
                           max_es_steps: int = 500,
@@ -98,7 +99,15 @@ def evaluate_k_shot_range(model, loss_config: LossConfig,
     mious = []
     for i, k in enumerate(k_range):
         k_eff = min(k, max(count - test_samples, 1))
-        inner_iters = iter_range[i] if i < len(iter_range) else iter_range[-1]
+        # With estimation ON the reference keeps the caller's fixed
+        # inner_iters (eval.py:196 eval_inner_iters, default 5) for ks below
+        # the early-stopping gate; iter_range only applies when estimation
+        # is OFF (reptile.py:423-434).
+        if estimate_inner_iters_with_early_stopping:
+            inner_iters = eval_inner_iters
+        else:
+            inner_iters = (iter_range[i] if i < len(iter_range)
+                           else iter_range[-1])
         if (estimate_inner_iters_with_early_stopping
                 and k_eff >= early_stopping_min_val_samples * 2):
             val_shots = int(0.2 * k_eff)
@@ -132,7 +141,8 @@ def run_k_shot_learning_curves_experiment(
         state: ModelState, dataset: TaskStore, key,
         num_samples: int = 1, k_range: Sequence[int] = DEFAULT_K_RANGE,
         iter_range: Optional[Sequence[int]] = None,
-        eval_inner_batch_size: int = 8, lr: float = 5e-4,
+        eval_inner_batch_size: int = 8, eval_inner_iters: int = 5,
+        lr: float = 5e-4,
         aug_rate: float = 0.5, test_samples: int = 20,
         csv_outpath: Optional[str] = "k-shot-results.csv",
         cache: Optional[EvaluatorCache] = None,
@@ -153,7 +163,8 @@ def run_k_shot_learning_curves_experiment(
                 model, loss_config, opt_config, state, dataset, task_index,
                 sub, k_range=k_range, iter_range=iter_range,
                 test_samples=test_samples,
-                inner_batch_size=eval_inner_batch_size, lr=lr,
+                inner_batch_size=eval_inner_batch_size,
+                eval_inner_iters=eval_inner_iters, lr=lr,
                 aug_rate=aug_rate, cache=cache, log_fn=log_fn)
             log_fn("k-shot results {}".format(dict(zip(k_range, res))))
             results.extend(res)

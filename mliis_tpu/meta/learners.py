@@ -145,16 +145,22 @@ def make_per_task_fn(model, loss_config: LossConfig,
                 k_batches, train_shots, config.inner_batch_size,
                 config.inner_iters - 1, config.replacement)
             keys = jax.random.split(k_steps, config.inner_iters - 1)
-            lrs = make_lr_array(lr, config.inner_iters - 1,
+            # Schedule over the FULL inner_iters horizon; the tail step runs
+            # at the final scheduled lr (identical for the fixed scheduler —
+            # the only one the reference's FOMLIS supports: its train_step
+            # never consults lr_scheduler, reptile.py:605-643 — but keeps
+            # the tail displacement consistent with an annealed schedule
+            # instead of jumping back to the initial lr).
+            lrs = make_lr_array(lr, config.inner_iters,
                                 config.lr_scheduler, config.lr_decay_rate,
                                 config.lr_decay_after_n_steps)
             pre_tail, _ = adapt(state, train_images, train_masks, idx_matrix,
-                                keys, lrs, aug_rate=aug_rate)
+                                keys, lrs[:-1], aug_rate=aug_rate)
             # Final step: the raw tail batch (un-augmented, size tail_shots).
             tail_idx = jnp.arange(tail)[None, :]
             final, _ = adapt_raw(pre_tail, support_images[tail_rel],
                                  support_masks[tail_rel], tail_idx,
-                                 k_tail[None], jnp.full((1,), lr, jnp.float32))
+                                 k_tail[None], lrs[-1:])
         else:
             idx_matrix = episodes.batch_indices(
                 k_batches, config.num_shots, config.inner_batch_size,

@@ -98,12 +98,22 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
                             n_max=train_store.images.shape[1]),
             donate_argnums=(0,))
 
+    # The interval evaluators inherit the training run's inner-loop
+    # protocol (reference train.py threads replacement + the scheduler into
+    # its eval calls) and its augmentation engine selection, so eval IoUs —
+    # which drive best-seen checkpointing — match the configured protocol.
     eval_cfg = EvalConfig(
         num_shots=cfg.num_eval_shots,
         inner_batch_size=cfg.eval_inner_batch_size,
         inner_iters=cfg.eval_inner_iters,
+        replacement=meta_config.replacement,
         transductive=cfg.transductive,
         augment=meta_config.augment,
+        precompute_augment=meta_config.precompute_augment,
+        pallas_augment=meta_config.pallas_augment,
+        lr_scheduler=meta_config.lr_scheduler,
+        lr_decay_rate=meta_config.lr_decay_rate,
+        lr_decay_after_n_steps=meta_config.lr_decay_after_n_steps,
         weight_decay_rate=meta_config.weight_decay_rate,
         task_chunk_size=eval_task_chunk_size,
         chain_chunk=cfg.chain_eval_chunk)

@@ -13,10 +13,9 @@ TPU-native: the per-task probe is the scanned trace kernel from
 early_stopping.py, vmapped over task chunks; only the patience walk and the
 GP run on the host.
 """
-import functools
 import os
 import random as pyrandom
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,9 +65,15 @@ class EarlyStoppingEvaluator:
         # and rebuilding the (jitted) evaluator per call would recompile the
         # same shapes (the estimated step count repeats across configs).
         self._gecko_cache: Dict[EvalConfig, GeckoEvaluator] = {}
+        # Per-instance (NOT functools.lru_cache on the method: that keys a
+        # class-level cache by `self`, pinning discarded evaluators and
+        # their compiled executables until eviction).
+        self._trace_cache: Dict[Tuple[int, int], Callable] = {}
 
-    @functools.lru_cache(maxsize=16)
     def _trace_kernel(self, max_steps: int, inner_batch_size: int):
+        cached = self._trace_cache.get((max_steps, inner_batch_size))
+        if cached is not None:
+            return cached
         trace_fn = make_early_stopping_trace_fn(
             self.model, self.loss_config, self.opt_config,
             max_steps=max_steps, inner_batch_size=inner_batch_size,
@@ -115,7 +120,9 @@ class EarlyStoppingEvaluator:
                           P(TASK_AXIS), P(), P(), P()),
                 out_specs=P(TASK_AXIS),
                 check_vma=False)
-        return jax.jit(vmapped)
+        kernel = jax.jit(vmapped)
+        self._trace_cache[(max_steps, inner_batch_size)] = kernel
+        return kernel
 
     def evaluate_with_early_stopping(
             self, state: ModelState, key, min_steps: int, max_steps: int,

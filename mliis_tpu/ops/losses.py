@@ -84,10 +84,17 @@ def l1_term(params: Pytree, weight_decay: float = 0.0005) -> jnp.ndarray:
     return weight_decay * total
 
 
-def darc1_term(logits: jnp.ndarray, weight: float = 0.0005) -> jnp.ndarray:
-    """DARC1 regularizer on final activations; batch dim first."""
-    flat = logits.reshape(logits.shape[0], -1)
-    return weight * jnp.max(jnp.sum(jnp.abs(flat), axis=0))
+def darc1_term(logits: jnp.ndarray, weight: float = 0.0005,
+               example_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """DARC1 regularizer on final activations; batch dim first.
+
+    `example_weights` masks padded batch slots out of the batch sum (the
+    other loss terms already honor it; unmasked garbage logits would
+    otherwise feed the regularizer's gradient)."""
+    flat = jnp.abs(logits.reshape(logits.shape[0], -1))
+    if example_weights is not None:
+        flat = flat * example_weights[:, None]
+    return weight * jnp.max(jnp.sum(flat, axis=0))
 
 
 def segmentation_loss(logits: jnp.ndarray, probabilities: jnp.ndarray,
@@ -125,7 +132,7 @@ def segmentation_loss(logits: jnp.ndarray, probabilities: jnp.ndarray,
                    / jnp.maximum(jnp.sum(example_weights), 1))
         loss = soft_dice_adjustment(loss, iou)
     if darc1:
-        loss = loss + darc1_term(logits)
+        loss = loss + darc1_term(logits, example_weights=example_weights)
     if params is not None:
         if l2:
             loss = loss + l2_term(params)

@@ -30,12 +30,15 @@ def tree_mean_over_axis(tree: Pytree, axis: int = 0) -> Pytree:
 
 
 def tree_weighted_mean_over_axis(tree: Pytree, weights: jnp.ndarray, axis: int = 0) -> Pytree:
-    """Weighted mean over a leading axis; used to mask padded meta-batch slots."""
-    denom = jnp.sum(weights)
+    """Weighted mean over `axis` of every leaf; used to mask padded
+    meta-batch slots. All-zero weights return zeros (everything masked)
+    rather than inf."""
+    denom = jnp.maximum(jnp.sum(weights), jnp.finfo(jnp.float32).tiny)
 
     def _wmean(x):
-        w = weights.reshape(weights.shape + (1,) * (x.ndim - 1))
-        return jnp.sum(x * w, axis=axis) / denom
+        shape = [1] * x.ndim
+        shape[axis] = weights.shape[0]
+        return jnp.sum(x * weights.reshape(shape), axis=axis) / denom
 
     return jax.tree_util.tree_map(_wmean, tree)
 

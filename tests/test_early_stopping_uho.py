@@ -209,3 +209,25 @@ def test_early_stopping_mesh_matches_unsharded(es_setup):
     assert a[0] == b[0]
     assert a[1] == b[1]
     np.testing.assert_allclose(a[2], b[2], atol=1e-5)
+
+
+def test_trace_kernel_cache_is_per_instance(es_setup):
+    """The trace-kernel cache lives on the instance: same-shape calls reuse
+    the compiled kernel, a second evaluator gets its own cache, and a
+    discarded evaluator is garbage-collectable (a functools.lru_cache on
+    the method would pin `self` in a class-level cache)."""
+    import gc
+    import weakref
+    ev, _ = es_setup
+    k1 = ev._trace_kernel(4, 2)
+    assert ev._trace_kernel(4, 2) is k1
+    other = EarlyStoppingEvaluator(ev.model, ev.loss_config, ev.opt_config,
+                                   ev.store, num_shots=5, test_shots=5,
+                                   augment=False, patience=3,
+                                   task_chunk_size=3)
+    assert (4, 2) not in other._trace_cache
+    other._trace_kernel(4, 2)
+    ref = weakref.ref(other)
+    del other
+    gc.collect()
+    assert ref() is None, "discarded evaluator stayed pinned"

@@ -177,6 +177,33 @@ def test_fomaml_single_step_equals_sgd_displacement(setup):
     assert float(moved) > 0
 
 
+def test_fomaml_star_tail_uses_final_scheduled_lr(setup):
+    """FOMAML*'s tail step (whose displacement IS the meta-update) must run
+    at the LAST scheduled inner lr, not the raw initial lr. With
+    inner_iters=2 and step_decay after 1 step, the pre-tail trajectory is
+    identical across decay rates (both run one step at lr), so the
+    meta-update must scale exactly with the decayed tail lr."""
+    store, model, opt_cfg, state = setup
+    outs = {}
+    for rate in (0.5, 0.25):
+        cfg = MetaTrainConfig(num_shots=8, inner_batch_size=3, inner_iters=2,
+                              meta_batch_size=1, foml=True, tail_shots=3,
+                              augment=False, lr_scheduler="step_decay",
+                              lr_decay_rate=rate, lr_decay_after_n_steps=1)
+        step = jax.jit(make_train_step(model, LossConfig(l2=False), opt_cfg,
+                                       cfg, n_max=10))
+        outs[rate] = step(state, jnp.asarray(store.images),
+                          jnp.asarray(store.masks),
+                          jnp.asarray(store.counts), jax.random.PRNGKey(3),
+                          jnp.float32(1.0), jnp.float32(0.02))
+    for a, b, s in zip(jax.tree_util.tree_leaves(outs[0.25].params),
+                       jax.tree_util.tree_leaves(outs[0.5].params),
+                       jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a) - np.asarray(s),
+                                   0.5 * (np.asarray(b) - np.asarray(s)),
+                                   atol=1e-6)
+
+
 def test_group_step_unpadded_equals_train_step(setup):
     """A full group (num_real == group_size) is bit-identical to the plain
     train step with meta_batch_size == group_size: same task sampling, same

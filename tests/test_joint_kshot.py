@@ -152,3 +152,33 @@ def test_joint_trainer_pallas_augment_path(tmp_path):
                         log_fn=lambda *a: None)
     for leaf in jax.tree_util.tree_leaves(out.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_kshot_iters_protocol_matches_reference():
+    """Reference protocol (reptile.py:423-434): with early-stopping
+    estimation ON, ks below the gate adapt with the caller's FIXED
+    eval_inner_iters; iter_range applies only when estimation is OFF."""
+    from mliis_tpu.meta.kshot import EvaluatorCache, evaluate_k_shot_range
+    store = make_synthetic_store(num_tasks=1, examples_per_task=10,
+                                 image_size=IMG)
+    model = TinySeg()
+    opt_cfg = OptimizerConfig("sgd")
+    loss_cfg = LossConfig(l2=False)
+    state = init_model_state(model, jax.random.PRNGKey(0), IMG, opt_cfg)
+    common = dict(k_range=[1, 4], iter_range=[1, 2], test_samples=4,
+                  inner_batch_size=2, lr=0.01, eval_inner_iters=3,
+                  log_fn=lambda *a: None)
+
+    cache_on = EvaluatorCache(model, loss_cfg, opt_cfg, store)
+    evaluate_k_shot_range(model, loss_cfg, opt_cfg, state, store, 0,
+                          jax.random.PRNGKey(1), cache=cache_on,
+                          estimate_inner_iters_with_early_stopping=True,
+                          **common)
+    assert {c.inner_iters for c in cache_on._gecko} == {3}
+
+    cache_off = EvaluatorCache(model, loss_cfg, opt_cfg, store)
+    evaluate_k_shot_range(model, loss_cfg, opt_cfg, state, store, 0,
+                          jax.random.PRNGKey(1), cache=cache_off,
+                          estimate_inner_iters_with_early_stopping=False,
+                          **common)
+    assert sorted(c.inner_iters for c in cache_off._gecko) == [1, 2]

@@ -104,3 +104,16 @@ def test_segmentation_loss_weighted_ignores_padding(rng):
     loss_trunc = losses.segmentation_loss(jl2, probs2, jnp.asarray(labels[:2]),
                                           None, dice=True)
     assert abs(float(loss_weighted) - float(loss_trunc)) < 1e-5
+
+
+def test_darc1_respects_example_weights():
+    """Padded batch slots must not feed the DARC1 regularizer: the masked
+    full-batch loss equals the loss of the unpadded prefix alone."""
+    from mliis_tpu.ops.losses import darc1_term
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(4, 3, 3, 2)).astype(np.float32))
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    masked = darc1_term(logits, example_weights=w)
+    prefix = darc1_term(logits[:2])
+    np.testing.assert_allclose(float(masked), float(prefix), rtol=1e-6)
+    assert float(darc1_term(logits)) != float(prefix)

@@ -93,3 +93,18 @@ def test_weight_decay_and_count(rng):
     np.testing.assert_allclose(np.asarray(decayed["bias"]),
                                0.99 * np.asarray(a["bias"]), rtol=1e-6)
     assert mm.tree_count_params(a) == 3 * 3 * 4 * 8 + 8
+
+
+def test_weighted_mean_nonzero_axis_and_zero_weights():
+    """axis=1 weights the second dimension (not the leading one) and
+    all-zero weights return zeros, not inf."""
+    x = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)
+    w = jnp.asarray([1.0, 0.0, 3.0])
+    out = mm.tree_weighted_mean_over_axis({"x": x}, w, axis=1)["x"]
+    expect = (x[:, 0] * 1.0 + x[:, 2] * 3.0) / 4.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-6)
+    zero = mm.tree_weighted_mean_over_axis({"x": x}, jnp.zeros(3),
+                                           axis=1)["x"]
+    assert np.isfinite(np.asarray(zero)).all()
+    np.testing.assert_allclose(np.asarray(zero), 0.0)

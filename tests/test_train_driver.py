@@ -85,3 +85,47 @@ def test_train_gecko_chained_matches_plain(setup, tmp_path):
                     jax.tree_util.tree_leaves(chained.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
     assert any("Train step" in str(line) for line in logs)
+
+
+def test_interval_evaluators_inherit_training_protocol(setup, tmp_path,
+                                                       monkeypatch):
+    """The eval-interval evaluators must run the configured inner-loop
+    protocol (replacement, lr scheduler, augmentation engine selection),
+    not EvalConfig defaults — their IoUs drive best-seen checkpointing
+    (reference train.py:108-109 threads replacement into evaluate; the
+    scheduler lives on the shared Gecko instance)."""
+    import mliis_tpu.meta.train as train_mod
+    captured = []
+    real = train_mod.GeckoEvaluator
+
+    class Capture(real):
+        def __init__(self, model, loss_cfg, opt_cfg, eval_cfg, store,
+                     **kw):
+            captured.append(eval_cfg)
+            super().__init__(model, loss_cfg, opt_cfg, eval_cfg, store,
+                             **kw)
+
+    monkeypatch.setattr(train_mod, "GeckoEvaluator", Capture)
+    train, test, model, loss_cfg, opt_cfg, state = setup
+    meta_cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3,
+                               inner_iters=2, meta_batch_size=2, foml=False,
+                               augment=False, replacement=True,
+                               lr_scheduler="step_decay", lr_decay_rate=0.25,
+                               lr_decay_after_n_steps=1,
+                               pallas_augment=False)
+    loop_cfg = TrainLoopConfig(meta_iters=1, meta_step_size=0.3,
+                               meta_step_size_final=0.1, eval_interval=5,
+                               eval_inner_batch_size=3, eval_inner_iters=2,
+                               num_eval_shots=5, num_tasks_to_eval=1,
+                               save_checkpoint_every_n_meta_iters=5, lr=0.01)
+    train_gecko(model, _fresh(state), train, test,
+                os.path.join(str(tmp_path), "inherit"), loss_cfg, opt_cfg,
+                meta_cfg, loop_cfg, jax.random.PRNGKey(7),
+                log_fn=lambda *a: None, eval_task_chunk_size=1)
+    assert len(captured) == 2
+    for cfg in captured:
+        assert cfg.replacement is True
+        assert cfg.lr_scheduler == "step_decay"
+        assert cfg.lr_decay_rate == 0.25
+        assert cfg.lr_decay_after_n_steps == 1
+        assert cfg.pallas_augment is False
