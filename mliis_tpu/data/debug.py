@@ -45,20 +45,33 @@ def check_task_store(store: TaskStore, log_fn=print) -> bool:
 def plot_mask(mask: np.ndarray, figure_index: int = 0,
               channel_index: Optional[int] = None,
               show: bool = True, save_path: Optional[str] = None) -> int:
-    """Plot one mask channel (first nonzero channel when unspecified)."""
+    """Plot one mask channel (first nonzero channel when unspecified).
+
+    Accepts [H, W] (plotted as-is; returns -1) or [H, W, C] masks. With
+    show=True the figure stays open for plt.show(); otherwise it is closed
+    after the optional save."""
     import matplotlib
-    matplotlib.use("Agg")
+    if not show:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    if channel_index is None:
+    if mask.ndim == 2:
+        k = -1
+        plane = mask
+    elif channel_index is None:
         k = 0
         for k in range(mask.shape[2]):
             if np.sum(mask[:, :, k]) > 0:
                 break
+        plane = mask[:, :, k]
     else:
         k = channel_index
+        plane = mask[:, :, k]
     fig = plt.figure(figure_index)
-    plt.imshow(mask[:, :, k])
+    plt.imshow(plane)
     if save_path:
         fig.savefig(save_path)
-    plt.close(fig)
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
     return k

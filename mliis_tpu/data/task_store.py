@@ -122,8 +122,15 @@ def load_task_store(data_dir: str, image_size: int = 224,
     if tf_paths:
         from mliis_tpu.data import native_loader
         if max_examples is None:
-            probe_max = max(native_loader.count_examples(p)
-                            for p in tf_paths)
+            # Parallel count probe: ctypes releases the GIL during the
+            # foreign call (and the Python-codec fallback is IO-bound), so
+            # a thread pool turns the 1000-shard gunzip-and-count pass from
+            # serial into ~num_threads-wide — it would otherwise roughly
+            # double dataset-ingest wall-clock on top of read_shards.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(num_threads) as pool:
+                probe_max = max(pool.map(native_loader.count_examples,
+                                         tf_paths))
         else:
             probe_max = max_examples
         images, masks, counts = native_loader.read_shards(

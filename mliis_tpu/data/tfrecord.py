@@ -204,6 +204,13 @@ def read_segmentation_shard(path: str, image_width: int = 224,
                 image_width, image_width, mask_channels)
         images.append(img)
         masks.append(mask)
+    if not images:
+        # Zero-record shard: return empty arrays like the native loader
+        # (count 0) instead of crashing in np.stack.
+        mask_shape = ((0, image_width, image_width) if mask_channels == 1
+                      else (0, image_width, image_width, mask_channels))
+        return (np.zeros((0, image_width, image_width, 3), np.uint8),
+                np.zeros(mask_shape, np.uint8))
     return np.stack(images), np.stack(masks)
 
 

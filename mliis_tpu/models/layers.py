@@ -103,28 +103,6 @@ class FusedBatchNorm(nn.Module):
             + add.astype(out_dtype)
 
 
-class BatchNorm(nn.Module):
-    """BatchNorm with reference hyperparams and optional cross-replica axis."""
-    momentum: float = 0.99
-    epsilon: float = 1e-3
-    axis_name: Optional[str] = None
-
-    @nn.compact
-    def __call__(self, x, use_running_average: bool):
-        if USE_FUSED_BN:
-            return FusedBatchNorm(
-                momentum=self.momentum, epsilon=self.epsilon,
-                axis_name=self.axis_name, name="batch_normalization",
-            )(x, use_running_average=use_running_average)
-        return nn.BatchNorm(
-            use_running_average=use_running_average,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            axis_name=self.axis_name,
-            name="batch_normalization",
-        )(x)
-
-
 def batch_norm(x, train, momentum: float = 0.99, epsilon: float = 1e-3,
                axis_name: Optional[str] = None,
                name: str = "batch_normalization", dtype=None):

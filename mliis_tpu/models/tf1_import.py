@@ -88,7 +88,8 @@ def _map_bn(prefix_out: str, bn_name: str, suffix: str) -> Optional[str]:
 
 def map_tf1_name(tf_name: str,
                  backbone_scope: str = "efficientnet-b0",
-                 target_paths: Optional[Set[str]] = None) -> Optional[str]:
+                 target_paths: Optional[Set[str]] = None,
+                 block_expand=None) -> Optional[str]:
     """TF1 variable name -> "params/..."/"batch_stats/..." path, or None.
 
     With `target_paths`, the expand-less-block and RSD-upsample-projection
@@ -116,6 +117,8 @@ def map_tf1_name(tf_name: str,
         idx, rest = int(m.group(1)), m.group(2)
         block = "{}/blocks_{}".format(backbone_out, idx)
         has_expand = _block_has_expand(block, target_paths)
+        if has_expand is None and block_expand is not None:
+            has_expand = block_expand.get(idx)
         mm = re.match(r"^conv2d(?:_(\d+))?/kernel$", rest)
         if mm:
             # Expanding block: conv2d = expand, conv2d_1 = project.
@@ -185,6 +188,24 @@ def convert_tf1_vars(tf_vars: Dict[str, np.ndarray],
     blocks cover them. With use_ema, `<name>/ExponentialMovingAverage`
     values replace their base variables (efficientlab.py:407-415)."""
     rsd_has_upsample_proj = rsd_has_upsample_proj or {}
+    # Without a target tree, infer which blocks have an expand conv from
+    # the TF var set itself: expanding blocks own conv2d AND conv2d_1
+    # (expand + project); expand-less blocks own only conv2d. This pins
+    # the BN creation-order numbering exactly (blocks_0 of every variant
+    # has expand_ratio=1: efficientnet builder block args).
+    block_expand: Dict[int, bool] = {}
+    blocks_conv = re.compile(r"^{}/blocks_(\d+)/conv2d(?:_(\d+))?/".format(
+        re.escape(backbone_scope)))
+    for tf_name in tf_vars:
+        name = tf_name.split(":")[0]
+        if name.endswith(_EMA_SUFFIX):
+            name = name[:-len(_EMA_SUFFIX)]
+        m = blocks_conv.match(name)
+        if m:
+            idx = int(m.group(1))
+            block_expand.setdefault(idx, False)
+            if m.group(2) is not None:
+                block_expand[idx] = True
     ema = {}
     out = {}
     for tf_name, value in tf_vars.items():
@@ -193,7 +214,8 @@ def convert_tf1_vars(tf_vars: Dict[str, np.ndarray],
             if use_ema:
                 ema[name[:-len(_EMA_SUFFIX)]] = value
             continue
-        path = map_tf1_name(name, backbone_scope, target_paths)
+        path = map_tf1_name(name, backbone_scope, target_paths,
+                            block_expand=block_expand)
         if path is None:
             continue
         # Legacy RSD-projection shift when no target tree was provided.
@@ -221,7 +243,8 @@ def convert_tf1_vars(tf_vars: Dict[str, np.ndarray],
         out[path] = (tf_name, value)
 
     for base, value in ema.items():
-        path = map_tf1_name(base, backbone_scope, target_paths)
+        path = map_tf1_name(base, backbone_scope, target_paths,
+                            block_expand=block_expand)
         if path is not None and path in out:
             out[path] = (base + _EMA_SUFFIX, value)
 

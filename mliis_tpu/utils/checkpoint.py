@@ -61,7 +61,10 @@ def unflatten_into(template: Pytree, flat: Dict[str, np.ndarray],
         name = prefix + "/".join(keys)
         if name in flat:
             value = np.asarray(flat[name])
-            if strict and value.shape != np.shape(leaf):
+            # Shape mismatches are config errors in BOTH modes: silently
+            # inserting a wrong-shaped leaf would surface later as an
+            # opaque error deep inside jit (or broadcast wrongly).
+            if value.shape != np.shape(leaf):
                 raise ValueError("Shape mismatch for {}: ckpt {} vs model {}"
                                  .format(name, value.shape, np.shape(leaf)))
             leaves.append(jnp.asarray(value))
@@ -156,14 +159,21 @@ def restore_checkpoint(path_or_dir: str, template: ModelState,
         flat = {k: z[k] for k in z.files}
 
     if filter_to_scopes is not None or filter_out_scope is not None:
+        # Scope filters cover every variable collection sharing the module
+        # path (params, BN running stats, optimizer slots) — the reference's
+        # TF var-scope filter caught moving stats inside the scope too
+        # (efficientlab.py:425-433); a backbone-only restore must not leak
+        # decoder BN stats from the checkpoint.
         def keep(name: str) -> bool:
-            if not name.startswith("params/"):
-                return True
-            rel = name[len("params/"):]
-            if filter_out_scope and rel.startswith(filter_out_scope):
-                return False
-            if filter_to_scopes is not None:
-                return any(rel.startswith(s) for s in filter_to_scopes)
+            for col in ("params/", "batch_stats/", "opt_v/"):
+                if name.startswith(col):
+                    rel = name[len(col):]
+                    if filter_out_scope and rel.startswith(filter_out_scope):
+                        return False
+                    if filter_to_scopes is not None:
+                        return any(rel.startswith(s)
+                                   for s in filter_to_scopes)
+                    return True
             return True
         flat = {k: v for k, v in flat.items() if keep(k)}
 

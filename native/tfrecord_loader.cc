@@ -85,7 +85,10 @@ bool SplitRecords(const std::vector<uint8_t>& buf,
     uint64_t length;
     std::memcpy(&length, buf.data() + pos, 8);
     pos += 12;
-    if (pos + length + 4 > n) return false;
+    // Overflow-safe bound: a corrupt length near UINT64_MAX must fail the
+    // framing check, not wrap `pos + length + 4` around size_t and read
+    // out of bounds.
+    if (length > n - pos || n - pos - length < 4) return false;
     records->push_back({buf.data() + pos, static_cast<size_t>(length)});
     pos += length + 4;
   }

@@ -96,3 +96,40 @@ def test_import_tf1_var_map(state):
     assert np.allclose(np.asarray(out.params["conv0"]["kernel"]), 1.0)
     _assert_tree_equal(out.params["final_layer_weights"],
                        state.params["final_layer_weights"])
+
+
+def test_scope_filter_covers_batch_stats(tmp_path, state):
+    """Scope filters apply to BN running stats too: a filtered restore must
+    not leak excluded scopes' moving stats from the checkpoint (the
+    reference's TF var-scope filter caught moving stats inside the scope,
+    efficientlab.py:425-433). BN var initializes to 1, so the zeroed
+    template exposes any leak."""
+    ckpt.save_checkpoint(str(tmp_path), state, 1)
+    zero_bn = jax.tree_util.tree_map(jnp.zeros_like, state.batch_stats)
+    template = ModelState(state.params, zero_bn, state.opt)
+    restored, _ = ckpt.restore_checkpoint(
+        str(tmp_path), template, filter_out_scope="batch_normalization_1")
+    bn0 = restored.batch_stats["batch_normalization"]
+    bn1 = restored.batch_stats["batch_normalization_1"]
+    # In-scope BN stats restored (var back to the checkpoint's 1s)...
+    np.testing.assert_array_equal(
+        np.asarray(bn0["var"]),
+        np.asarray(state.batch_stats["batch_normalization"]["var"]))
+    assert float(np.asarray(bn0["var"]).max()) == 1.0
+    # ...filtered-out BN stats did NOT leak (template zeros kept).
+    assert np.allclose(np.asarray(bn1["var"]), 0)
+
+
+def test_restore_shape_mismatch_raises(tmp_path, state):
+    """A wrong-shaped checkpoint entry raises at restore time in BOTH
+    strict and filtered modes (not silently inserted into the pytree)."""
+    ckpt.save_checkpoint(str(tmp_path), state, 1)
+    import flax
+    wide = TinySeg(features=16)
+    template = init_model_state(wide, jax.random.PRNGKey(1), 16,
+                                OptimizerConfig(name="adam"))
+    with pytest.raises(ValueError, match="Shape mismatch"):
+        ckpt.restore_checkpoint(str(tmp_path), template)
+    with pytest.raises(ValueError, match="Shape mismatch"):
+        ckpt.restore_checkpoint(str(tmp_path), template,
+                                filter_to_scopes=["conv0"])

@@ -120,3 +120,30 @@ def test_convert_uses_native_writer(tmp_path, rng):
     assert len(written) == 1
     images, masks = tfrecord.read_segmentation_shard(written[0], 16)
     assert images.shape[0] == 2
+
+
+def test_corrupt_length_field_errors_instead_of_oob(tmp_path):
+    """A record whose 8-byte length decodes near UINT64_MAX must fail the
+    framing check (error -3 -> IOError) — an unchecked `pos + length + 4`
+    would wrap around size_t and read out of bounds."""
+    path = str(tmp_path / "corrupt.tfrecord.gzip")
+    frame = struct.pack("<QI", 0xFFFFFFFFFFFFFFF0, 0) + b"\x00" * 16
+    with gzip.open(path, "wb") as f:
+        f.write(frame)
+    with pytest.raises(IOError):
+        native_loader.count_examples(path)
+    with pytest.raises(IOError):
+        native_loader.read_shards([path], 16, 4, num_threads=1)
+
+
+def test_zero_record_shard_counts_zero_both_paths(tmp_path):
+    """An empty (zero-record) gzip shard loads as count 0 through BOTH the
+    native loader and the pure-Python fallback codec."""
+    path = str(tmp_path / "empty.tfrecord.gzip")
+    with gzip.open(path, "wb") as f:
+        f.write(b"")
+    assert native_loader.count_examples(path) == 0
+    _, _, counts = native_loader.read_shards([path], 16, 4, num_threads=1)
+    assert int(counts[0]) == 0
+    imgs, msks = tfrecord.read_segmentation_shard(path, 16)
+    assert imgs.shape == (0, 16, 16, 3) and msks.shape == (0, 16, 16)

@@ -213,13 +213,21 @@ def test_sync_bn_matches_full_batch():
     import flax.linen as nn_
     from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
-    from mliis_tpu.models.layers import BatchNorm
+    from mliis_tpu.models import layers
+
+    class BN(nn_.Module):
+        axis_name: str = None
+
+        @nn_.compact
+        def __call__(self, x, use_running_average: bool):
+            return layers.batch_norm(x, not use_running_average,
+                                     axis_name=self.axis_name)
 
     mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 3)) * 3.0 + 1.0
 
-    plain = BatchNorm()
-    sync = BatchNorm(axis_name="data")
+    plain = BN()
+    sync = BN(axis_name="data")
     variables = plain.init(jax.random.PRNGKey(1), x,
                            use_running_average=False)
 

@@ -107,3 +107,21 @@ def test_ema_variables_override_base():
     assert plain["params/final_layer_weights/kernel"].max() == 0.0
     ema = tf1_import.convert_tf1_vars(tf_vars, use_ema=True)
     assert ema["params/final_layer_weights/kernel"].min() == 1.0
+
+
+def test_import_map_total_without_target_tree():
+    """convert_tf1_vars with NO target tree must still map the full b0 var
+    set — including blocks_0 (expand_ratio=1), whose expand-less BN
+    numbering is inferred from the TF var set itself (a block owns conv2d_1
+    iff it has an expand conv). Previously the depthwise BN was dropped and
+    the project BN landed on the wrong (wrong-shaped) leaf."""
+    state = _state("efficientnet-b0", (2, 4))
+    tf_vars, _ = _synthetic_tf_vars(state, "efficientnet-b0")
+    converted = tf1_import.convert_tf1_vars(tf_vars,
+                                            backbone_scope="efficientnet-b0")
+    tf1_import.assert_complete_import(converted, state.params,
+                                     state.batch_stats)
+    # And the values land on matching shapes (import would raise otherwise).
+    from mliis_tpu.utils import checkpoint as ckpt_lib
+    ckpt_lib.import_tf1_var_map(converted, state,
+                                name_mapper=lambda n: n)
