@@ -64,7 +64,8 @@ def argument_parser():
     add('--skip_decoding', action='store_true')
     add('--rsd', type=int, nargs='+')
     add('--feature_extractor_name', type=str, default='efficientnet-b0')
-    add('--learning_rate_scheduler', type=str, default='fixed')
+    add('--learning_rate_scheduler', type=str, default='fixed',
+        choices=sorted(SUPPORTED_LR_SCHEDULERS))
     add('--step_decay_rate', type=float, default=0.5)
     add('--decay_after_n_steps', type=int, default=5)
     add('--l2', action='store_true')
@@ -240,8 +241,12 @@ def eval_config(args, inner_iters=None, inner_batch=None) -> EvalConfig:
     return EvalConfig(
         num_shots=args.shots,
         test_shots=5,
-        inner_batch_size=inner_batch or args.eval_batch,
-        inner_iters=inner_iters or args.eval_iters,
+        # `is None` (not falsy-or): UHO early stopping can legitimately
+        # estimate 0 adaptation steps, which must not silently fall back.
+        inner_batch_size=(args.eval_batch if inner_batch is None
+                          else inner_batch),
+        inner_iters=(args.eval_iters if inner_iters is None
+                     else inner_iters),
         replacement=args.replacement,
         transductive=args.transductive,
         augment=args.augment,

@@ -195,13 +195,14 @@ def _main_impl(args, start_time):
                 np.concatenate([train_store.masks, val_store.masks]),
                 np.concatenate([train_store.counts, val_store.counts]),
                 train_store.names + val_store.names)
-            ft_loop = args_lib.train_loop_config(args)
-            ft_loop.meta_iters = args.meta_fine_tune_steps_on_train_val
-            ft_loop.meta_step_size = args.meta_step_final
-            ft_loop.lr = estimated_lr
-            ft_meta = args_lib.meta_train_config(args)
             import dataclasses as _dc
-            ft_meta = _dc.replace(ft_meta, inner_iters=estimated_steps)
+            ft_loop = _dc.replace(
+                args_lib.train_loop_config(args),
+                meta_iters=args.meta_fine_tune_steps_on_train_val,
+                meta_step_size=args.meta_step_final,
+                lr=estimated_lr)
+            ft_meta = _dc.replace(args_lib.meta_train_config(args),
+                                  inner_iters=estimated_steps)
             key, ft_key = jax.random.split(key)
             state = train_gecko(
                 model, state, merged, test_store,
@@ -232,7 +233,6 @@ def _main_impl(args, start_time):
     # explicit value.
     lr = eval_lr if eval_lr is not None else args.learning_rate
     eval_cfg = args_lib.eval_config(args, inner_iters=eval_inner_iters)
-    drop_rate = args.final_layer_dropout_rate or None
 
     print('Evaluating {}-shot learning on training tasks.'.format(args.shots))
     mean_train_iou = float("nan")

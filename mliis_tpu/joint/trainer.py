@@ -71,47 +71,74 @@ def joint_dataset_from_task_store(store: TaskStore,
 
 
 def _augment_joint(key, image, label, num_classes: int):
-    """fliplr / translate / gaussian noise / exposure on (image, int label)."""
+    """Joint-path augmentation on (image [H,W,3], int label [H,W]).
+
+    A uniformly-random prefix (length 1..4) of a uniformly-random
+    permutation of [translate, fliplr, noise, exposure] — the reference
+    joint Augmenter composition (joint_train.py:140-148 +
+    np_augmenters.py:144-156 with prob_original 0), the same semantics as
+    the Pallas kernel branch (pallas_augment.fused_light_augment). Label
+    background fill is class 0. Every stage draws from its own split key
+    (fold_in(key, d) is bit-identical to split(key, n)[d] under threefry,
+    so mixing the two on one key couples the streams)."""
     del num_classes
-    ks = jax.random.split(key, 5)
-    # Represent the label as a single channel so mask-transforming augs
-    # stay aligned; background fill is class 0.
-    do_flip = jax.random.bernoulli(ks[0])
-    image = jnp.where(do_flip, image[:, ::-1, :], image)
-    label = jnp.where(do_flip, label[:, ::-1], label)
+    n = 4
+    k_perm, k_count, k_fns = jax.random.split(key, 3)
+    perm = jax.random.permutation(k_perm, n)
+    num_to_apply = jax.random.randint(k_count, (), 1, n + 1)
+    fn_keys = jax.random.split(k_fns, n)
+    label_f = label.astype(image.dtype)
 
-    do_translate = jax.random.bernoulli(ks[1])
-    shift = jax.random.randint(ks[2], (), 1, 24)
-    direction = jax.random.bernoulli(ks[3])
-    shift = jnp.where(direction, shift, -shift)
-    vert = jax.random.bernoulli(ks[4])
-    axis = jnp.where(vert, 0, 1)
-
-    def tshift(arr, fill, ax):
+    def apply_translate(k, img, lab):
         from mliis_tpu.ops.augment import _roll_dynamic
-        rolled = _roll_dynamic(arr, shift, ax)
-        idx = jax.lax.broadcasted_iota(jnp.int32, rolled.shape[:2], ax)
-        if arr.ndim == 3:
-            idx = idx[..., None]
-        size = arr.shape[ax]
-        stripe = jnp.where(shift >= 0, idx < shift, idx >= size + shift)
-        return jnp.where(stripe, fill, rolled)
+        ks = jax.random.split(k, 5)
+        vert = jax.random.bernoulli(ks[0])
+        direction = jax.random.bernoulli(ks[1])
+        shift = jax.random.randint(ks[2], (), 1, 24)
+        shift = jnp.where(direction, shift, -shift)
+        roll = jax.random.bernoulli(ks[3])
+        img_fill = jax.random.uniform(ks[4], (3,), minval=0.0, maxval=255.0)
 
-    timg0 = tshift(image, 0.0, 0)
-    tlab0 = tshift(label, 0, 0)
-    timg1 = tshift(image, 0.0, 1)
-    tlab1 = tshift(label, 0, 1)
-    timg = jnp.where(axis == 0, timg0, timg1)
-    tlab = jnp.where(axis == 0, tlab0, tlab1)
-    image = jnp.where(do_translate, timg, image)
-    label = jnp.where(do_translate, tlab, label)
+        def shifted(arr, ax, fill):
+            rolled = _roll_dynamic(arr, shift, ax)
+            idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape[:2], ax)
+            if arr.ndim == 3:
+                idx = idx[..., None]
+            size = arr.shape[ax]
+            stripe = jnp.where(shift >= 0, idx < shift,
+                               idx >= size + shift)
+            filled = jnp.where(stripe, fill, rolled)
+            return jnp.where(roll, rolled, filled)
 
-    k_noise = jax.random.fold_in(key, 1)
-    image, _ = augment_lib.additive_gaussian_noise(
-        k_noise, image, jnp.zeros(image.shape[:2] + (1,)))
-    k_exp = jax.random.fold_in(key, 2)
-    image, _ = augment_lib.exposure(k_exp, image, jnp.zeros(image.shape[:2] + (1,)))
-    return image, label
+        new_img = jnp.where(vert,
+                            shifted(img, 0, img_fill[None, None, :]),
+                            shifted(img, 1, img_fill[None, None, :]))
+        new_lab = jnp.where(vert, shifted(lab, 0, jnp.zeros(())),
+                            shifted(lab, 1, jnp.zeros(())))
+        return new_img, new_lab
+
+    def apply_fliplr(k, img, lab):
+        del k
+        return img[:, ::-1, :], lab[:, ::-1]
+
+    def apply_noise(k, img, lab):
+        img, _ = augment_lib.additive_gaussian_noise(
+            k, img, jnp.zeros(img.shape[:2] + (1,)))
+        return img, lab
+
+    def apply_exposure(k, img, lab):
+        img, _ = augment_lib.exposure(k, img,
+                                      jnp.zeros(img.shape[:2] + (1,)))
+        return img, lab
+
+    branches = [apply_translate, apply_fliplr, apply_noise, apply_exposure]
+    for step in range(n):
+        new_img, new_lab = jax.lax.switch(perm[step], branches,
+                                          fn_keys[step], image, label_f)
+        keep = step < num_to_apply
+        image = jnp.where(keep, new_img, image)
+        label_f = jnp.where(keep, new_lab, label_f)
+    return image, jnp.round(label_f).astype(label.dtype)
 
 
 def sparse_segmentation_loss(logits, labels, label_smoothing: float = 0.0):
@@ -140,11 +167,11 @@ class JointTrainConfig:
     val_batches: int = 20
     save_checkpoint_every_n_epochs: int = 2
     steps_per_launch: int = 8   # SGD steps fused per device launch
-    # Fused Pallas augmentation kernel (ops/pallas_augment.py) instead of the
-    # jnp composition. None = auto (on for TPU backends). The kernel is also
-    # the closer parity match: it implements the reference's random-prefix
-    # Augmenter composition (np_augmenters.py:144-156) exactly, where the
-    # jnp path gates each function independently.
+    # Fused Pallas augmentation kernel (ops/pallas_augment.py) instead of
+    # the jnp composition. None = auto (on for TPU backends). Both branches
+    # implement the reference's random-prefix Augmenter composition
+    # (np_augmenters.py:144-156); they differ only in PRNG stream
+    # (on-core vs jax.random), i.e. distributionally equivalent.
     use_pallas_augment: Optional[bool] = None
 
 
@@ -361,13 +388,24 @@ class JointTrainer:
         for epoch in range(cfg.epochs):
             start = time.time()
             lr = self.lr_fn(epoch)
+            # Shuffled once-per-epoch visit order like the reference's
+            # repeat->shuffle tf.data stream (input_fn.py): each example is
+            # seen ~once per epoch. (i.i.d. randint sampling would leave
+            # ~1/e of the examples unseen in any given epoch.)
+            key, k_perm = jax.random.split(key)
+            total_needed = steps_per_epoch * cfg.batch_size
+            reps = -(-total_needed // n)
+            order = jnp.concatenate([
+                jax.random.permutation(jax.random.fold_in(k_perm, r), n)
+                for r in range(reps)])
+            epoch_idx = order[:total_needed].reshape(steps_per_epoch,
+                                                     cfg.batch_size)
             done = 0
             while done < steps_per_epoch:
                 launch_steps = min(cfg.steps_per_launch,
                                    steps_per_epoch - done)
-                key, k_idx, k_steps = jax.random.split(key, 3)
-                batch_idx = jax.random.randint(
-                    k_idx, (launch_steps, cfg.batch_size), 0, n)
+                key, k_steps = jax.random.split(key)
+                batch_idx = epoch_idx[done:done + launch_steps]
                 keys = jax.random.split(k_steps, launch_steps)
                 state, losses = self._train_launch(state, batch_idx, keys,
                                                    jnp.float32(lr))

@@ -28,7 +28,7 @@ from mliis_tpu.utils.logging import MetricsWriter, log_estimated_time_remaining
 from mliis_tpu.utils.profiling import PhaseTimer
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class TrainLoopConfig:
     meta_iters: int = 50000
     meta_step_size: float = 0.1

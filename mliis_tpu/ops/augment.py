@@ -381,13 +381,17 @@ def _rotate_4tap_planar(x, c_img, angle, mode_idx, fill_with_noise,
 
 def _rotate_planar(key, x, c_img, max_angle: int = 45):
     """Rotation with a random border mode (planar core)."""
-    ks = jax.random.split(key, 4)
+    # Border noise from its own split child: JAX does not guarantee
+    # independence between draws from a key and its split children (and
+    # fold_in(k, d) == split(k, n)[d] under threefry), so the parent key
+    # must not be drawn from after splitting.
+    ks = jax.random.split(key, 5)
     angle = jax.random.randint(ks[0], (), -max_angle, max_angle).astype(
         jnp.float32)
     mode_idx = jax.random.randint(ks[1], (), 0, len(_ROTATE_MODES))
     fill_with_noise = jax.random.bernoulli(ks[2])
     const_cval = jax.random.randint(ks[3], (), 0, 256).astype(jnp.float32)
-    noise = jax.random.randint(key, (c_img,) + x.shape[1:], 0, 256).astype(
+    noise = jax.random.randint(ks[4], (c_img,) + x.shape[1:], 0, 256).astype(
         jnp.float32)
     if FAST_ROTATE:
         return _rotate_shear_planar(x, c_img, angle, mode_idx,

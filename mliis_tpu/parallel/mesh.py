@@ -123,7 +123,20 @@ def make_sharded_eval_chunk(model, loss_config: LossConfig,
         "task_chunk_size must be a multiple of the task-mesh size"
     eval_task = make_eval_task_fn(model, loss_config, opt_config, config,
                                   n_max)
-    vmapped = jax.vmap(eval_task, in_axes=(None, 0, 0, 0, 0, None, None, None))
+    if config.chain_chunk:
+        # Each device runs its local chunk slice sequentially (lax.map):
+        # single-task activation footprint per device, like the unsharded
+        # chain_chunk path — per-task time rises with vmap width on v5e
+        # (HBM pressure), and --mesh_tasks must not silently discard
+        # --chain_eval_chunk.
+        def vmapped(state, imgs, msks, cnts, keys, lr, dr, ar):
+            return jax.lax.map(
+                lambda xs: eval_task(state, xs[0], xs[1], xs[2], xs[3],
+                                     lr, dr, ar),
+                (imgs, msks, cnts, keys))
+    else:
+        vmapped = jax.vmap(eval_task,
+                           in_axes=(None, 0, 0, 0, 0, None, None, None))
 
     from jax import shard_map
     sharded = shard_map(
