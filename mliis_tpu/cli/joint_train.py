@@ -34,9 +34,22 @@ def parse_args(argv=None):
     add('--augment', action='store_true')
     add('--final_layer_dropout_rate', type=float, default=0.0)
     add('--image_size', type=int, default=224)
+    # Accepted for CLI compatibility (reference joint_train.py:50); the
+    # rebuild always trains the separate-background-channel variant — the
+    # published configuration (README commands all pass this flag). The
+    # non-mutually-exclusive-mask variant is not rebuilt.
     add('--seperate_background_channel', action='store_true')
     add('--fp_k_test_set', action='store_true')
-    add('--test_on_val_set', action='store_true')
+    add('--test_on_val_set', action='store_true',
+        help='Train on train-minus-val classes and monitor on the val '
+             'split (reference joint_train.py:120-135 trains on shards '
+             'without the val tag and tests on val shards). The val split '
+             'is --num_val_tasks classes popped deterministically off the '
+             'sorted train class list.')
+    add('--num_val_tasks', type=int, default=50,
+        help='Val-split size for --test_on_val_set (the reference encodes '
+             'the split in shard filename tags; here it is derived '
+             'reproducibly from the class list).')
     add('--restore_efficient_net_weights_from', type=str, default=None)
     add('--batch_size', default=64, type=int)
     add('--epochs', default=200, type=int)
@@ -74,6 +87,13 @@ def main(argv=None):
         n_test = max(args.synthetic_tasks // 4, 1)
         test_store = store.subset(range(n_test))
         train_store = store.subset(range(n_test, store.num_tasks))
+        if args.test_on_val_set:
+            train_names, val_names = manifests.split_train_test_tasks(
+                train_store.names, max(min(args.num_val_tasks,
+                                           train_store.num_tasks - 1), 1),
+                reproducible_splits=True)
+            test_store = train_store.subset_by_names(val_names)
+            train_store = train_store.subset_by_names(train_names)
         all_classes = sorted(store.names)
     else:
         store = load_task_store(args.data_dir, image_size=args.image_size)
@@ -86,8 +106,17 @@ def main(argv=None):
         assert not set(test_classes) & set(train_classes), \
             "train-test class names overlap"
         present = set(store.names)
-        train_store = store.subset_by_names(
-            [n for n in train_classes if n in present])
+        train_names = [n for n in train_classes if n in present]
+        if args.test_on_val_set:
+            # Train on train-minus-val, monitor on the val classes
+            # (reference joint_train.py:126-129) — keeps the TEST classes
+            # out of epoch-level model selection.
+            train_names, val_names = manifests.split_train_test_tasks(
+                train_names, max(min(args.num_val_tasks,
+                                     len(train_names) - 1), 1),
+                reproducible_splits=True)
+            test_classes = val_names
+        train_store = store.subset_by_names(train_names)
         test_store = store.subset_by_names(
             [n for n in test_classes if n in present])
 

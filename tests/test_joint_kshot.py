@@ -182,3 +182,20 @@ def test_kshot_iters_protocol_matches_reference():
                           estimate_inner_iters_with_early_stopping=False,
                           **common)
     assert sorted(c.inner_iters for c in cache_off._gecko) == [1, 2]
+
+
+def test_joint_cli_test_on_val_set(tmp_path, capsys):
+    """--test_on_val_set monitors on a val split carved from the TRAIN
+    classes (reference joint_train.py:120-135): test classes stay out of
+    epoch-level model selection, and the val split is reproducible."""
+    from mliis_tpu.cli.joint_train import main as joint_main
+    joint_main([
+        "--synthetic", "--synthetic_tasks", "8", "--image_size", "16",
+        "--rsd", "2", "--sgd", "--loss_name", "ce",
+        "--batch_size", "4", "--epochs", "1", "--steps_per_epoch", "2",
+        "--eval_interval", "1", "--val_batches", "1", "--test_on_val_set",
+        "--num_val_tasks", "2", "--pallas_augment", "off",
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    out = capsys.readouterr().out
+    assert "Val IoU" in out
