@@ -144,6 +144,18 @@ def load_task_store(data_dir: str, image_size: int = 224,
             tasks.append((z["images"], z["masks"]))
         names.append(task_name_from_path(path))
 
+    # Skip empty shards (zero records): a zero-count task row would
+    # otherwise flow into episode sampling and train on padded zeros.
+    kept = [i for i, t in enumerate(tasks) if t[0].shape[0] > 0]
+    if len(kept) < len(tasks):
+        dropped = [names[i] for i in range(len(tasks)) if i not in set(kept)]
+        print("load_task_store: skipping {} empty shard(s): {}".format(
+            len(dropped), dropped[:5]))
+        tasks = [tasks[i] for i in kept]
+        names = [names[i] for i in kept]
+    if not tasks:
+        raise ValueError("All task shards in {} are empty".format(data_dir))
+
     order = np.argsort(names)
     tasks = [tasks[i] for i in order]
     names = [names[i] for i in order]

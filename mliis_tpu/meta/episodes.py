@@ -100,6 +100,13 @@ def epoch_batch_indices(key, n: int, batch_size: int,
 def replacement_batch_indices(key, n: int, batch_size: int,
                               num_batches: int) -> jnp.ndarray:
     """Each batch is `batch_size` distinct examples, batches independent."""
+    if batch_size > n:
+        # The reference's random.sample(samples, batch_size) raises here
+        # too (metaseg.py:276); silently truncating would hand callers a
+        # narrower batch than configured.
+        raise ValueError(
+            "replacement sampling needs batch_size <= pool size "
+            "({} > {})".format(batch_size, n))
     keys = jax.random.split(key, num_batches)
     perms = jax.vmap(lambda k: jax.random.permutation(k, n))(keys)
     return perms[:, :batch_size]

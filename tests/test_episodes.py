@@ -1,6 +1,7 @@
 """Episode sampling tests: without-replacement epoch cycling, support/query
 disjointness, one-hot mask conversion, shot sampling validity."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,3 +75,14 @@ def test_sample_task_ids_in_range():
     arr = np.asarray(ids)
     assert arr.shape == (5,)
     assert ((arr >= 0) & (arr < 16)).all()
+
+
+def test_replacement_batch_wider_than_pool_raises():
+    """random.sample semantics (metaseg.py:276): replacement batches wider
+    than the pool are an error, not a silent truncation; the epoch sampler
+    cycles instead."""
+    from mliis_tpu.meta.episodes import batch_indices
+    with pytest.raises(ValueError, match="batch_size"):
+        batch_indices(jax.random.PRNGKey(0), 5, 8, 3, replacement=True)
+    idx = batch_indices(jax.random.PRNGKey(0), 5, 8, 3, replacement=False)
+    assert idx.shape == (3, 8) and int(idx.max()) < 5

@@ -147,3 +147,23 @@ def test_zero_record_shard_counts_zero_both_paths(tmp_path):
     assert int(counts[0]) == 0
     imgs, msks = tfrecord.read_segmentation_shard(path, 16)
     assert imgs.shape == (0, 16, 16, 3) and msks.shape == (0, 16, 16)
+
+
+def test_load_task_store_skips_empty_shards(tmp_path, rng):
+    """A zero-record shard in the directory is skipped with a notice (a
+    zero-count task row would otherwise feed padded zeros into episode
+    sampling); an all-empty directory raises."""
+    from mliis_tpu.data.task_store import load_task_store
+    images, masks = _random_task(rng)
+    native_loader.write_shard(str(tmp_path / "cat.tfrecord.gzip"),
+                              images, masks)
+    with gzip.open(str(tmp_path / "dog.tfrecord.gzip"), "wb") as f:
+        f.write(b"")
+    store = load_task_store(str(tmp_path), image_size=16)
+    assert store.names == ["cat"] and store.num_tasks == 1
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    with gzip.open(str(empty_dir / "a.tfrecord.gzip"), "wb") as f:
+        f.write(b"")
+    with pytest.raises(ValueError, match="empty"):
+        load_task_store(str(empty_dir), image_size=16)
