@@ -129,6 +129,31 @@ def test_sharded_eval_chunk_matches_unsharded(setup):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_sharded_chained_eval_chunk_matches_unsharded(setup):
+    """chain_chunk under a task mesh (lax.map over each device's local
+    chunk slice) must reproduce the vmapped sharded chunk exactly —
+    --mesh_tasks must not silently discard --chain_eval_chunk."""
+    store, model, loss_cfg, opt_cfg, state = setup
+    mesh = make_task_mesh(4)
+    base = dict(num_shots=5, test_shots=5, inner_batch_size=4,
+                inner_iters=2, augment=False, task_chunk_size=8)
+    chained = make_sharded_eval_chunk(
+        model, loss_cfg, opt_cfg, EvalConfig(chain_chunk=True, **base),
+        n_max=10, mesh=mesh)
+    vmapped = make_sharded_eval_chunk(
+        model, loss_cfg, opt_cfg, EvalConfig(chain_chunk=False, **base),
+        n_max=10, mesh=mesh)
+    imgs = jnp.asarray(store.images)
+    msks = jnp.asarray(store.masks)
+    cnts = jnp.asarray(store.counts)
+    keys = jax.random.split(jax.random.PRNGKey(5), 8)
+    a = chained(state, imgs, msks, cnts, keys, jnp.float32(0.01),
+                jnp.float32(0.0), None)
+    b = vmapped(state, imgs, msks, cnts, keys, jnp.float32(0.01),
+                jnp.float32(0.0), None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()
