@@ -64,6 +64,16 @@ def argument_parser():
     add('--skip_decoding', action='store_true')
     add('--rsd', type=int, nargs='+')
     add('--feature_extractor_name', type=str, default='efficientnet-b0')
+    # Vestigial U-Net hyperparameters (args.py:51-53,62 in the reference,
+    # threaded into model_kwargs at :156-157 but consumed by no supported
+    # model — EfficientLab ignores them). Accepted for compatibility so a
+    # reference user's saved command line parses; no behavioral effect.
+    add('--n_unet_encoding_stacks', type=int, default=4,
+        help='Accepted for reference CLI compatibility; no effect '
+             '(vestigial U-Net parameter).')
+    add('--start_num_feature_maps_power', type=int, default=5,
+        help='Accepted for reference CLI compatibility; no effect '
+             '(vestigial U-Net parameter).')
     add('--learning_rate_scheduler', type=str, default='fixed',
         choices=sorted(SUPPORTED_LR_SCHEDULERS))
     add('--step_decay_rate', type=float, default=0.5)

@@ -85,6 +85,18 @@ def test_defaults_match_reference():
         "val-set_hyper_param_search_results.csv"
 
 
+def test_vestigial_unet_flags_accepted():
+    """A reference user's saved command line containing the vestigial U-Net
+    flags (reference args.py:51-53,62) must parse; they have no effect."""
+    a = args_lib.argument_parser().parse_args(shlex.split(
+        RUN_SH_FLAGS + " --n_unet_encoding_stacks 4 "
+                       "--start_num_feature_maps_power 5"))
+    assert a.n_unet_encoding_stacks == 4
+    assert a.start_num_feature_maps_power == 5
+    kw = args_lib.model_kwargs(a)
+    assert "n_unet_encoding_stacks" not in kw  # not threaded into the model
+
+
 def test_joint_train_args_parse():
     from mliis_tpu.cli.joint_train import parse_args
     a = parse_args(shlex.split(
