@@ -7,9 +7,11 @@ lax.scan over task slots, donated state) and prints the driver JSON line.
 
 Budget-robust structure (round 4, after BENCH_r03 died in backend init):
   1. A wall-clock watchdog (BENCH_WATCHDOG_S, default 1200 s) prints a
-     best-effort JSON line and exits if the run is still alive at the
-     deadline — a hanging axon backend init can no longer eat the whole
-     driver budget silently.
+     best-effort, source-flagged JSON line if nothing has printed by the
+     deadline, then lets the live run CONTINUE (observed axon backend init
+     is ~25 min; the driver parses the tail of our output even on timeout,
+     and a later live line supersedes the fallback for last-line parsers).
+     A hard exit (BENCH_HARD_EXIT_S, default 2700 s) bounds the process.
   2. The default path compiles ONE program (the chained train step, from the
      persistent XLA cache when warm) and prints the headline JSON the moment
      its timing exists. vs_baseline/MFU/eval throughput come from recorded
@@ -78,23 +80,31 @@ def _watchdog_budget_s() -> float:
     return float(os.environ.get("BENCH_WATCHDOG_S", "1200"))
 
 
+def _sleep_until(deadline: float):
+    while True:
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return
+        time.sleep(min(remaining, 5.0))
+
+
 def _watchdog():
     budget = _watchdog_budget_s()
-    while True:
-        remaining = _state["t0"] + budget - time.time()
-        if remaining <= 0:
-            break
-        time.sleep(min(remaining, 5.0))
+    _sleep_until(_state["t0"] + budget)
     if not _state["printed"]:
-        # Nothing measured live (backend init or compile ate the budget):
-        # report the last builder-session measurement, unambiguously flagged.
+        # Nothing measured live yet (axon backend init alone has taken
+        # ~25 min): put a flagged fallback line in the output NOW so the
+        # driver's tail-parse finds valid JSON even if it kills us, then
+        # let the live run continue — a later live line supersedes this
+        # one for last-line parsers.
         _emit(_headline(CACHED["fused_meta_step_s"],
                         value_source="cached_round3_builder_measurement "
-                                     "(watchdog: live run did not reach a "
-                                     "timed step in {:.0f}s)".format(budget)))
-    else:
-        sys.stderr.write("bench watchdog: budget reached after headline; "
-                         "exiting\n")
+                                     "(watchdog fallback at {:.0f}s; live "
+                                     "run still in progress)".format(budget)))
+    hard_exit = float(os.environ.get("BENCH_HARD_EXIT_S", "2700"))
+    _sleep_until(_state["t0"] + hard_exit)
+    sys.stderr.write("bench watchdog: hard exit at {:.0f}s\n".format(
+        time.time() - _state["t0"]))
     os._exit(0)
 
 
