@@ -357,9 +357,11 @@ class JointTrainer:
                 images, train=False)
             loss = sparse_segmentation_loss(logits, labels)
             preds = jnp.argmax(probs, axis=-1)
-            # Multi-class hard IoU over all channels (Gecko._iou with
-            # class_of_interest_channel=None): intersection/union of the
-            # one-hot maps == accuracy-style count over matching pixels.
+            # KNOWN-ODD METRIC, kept for parity: the reference's joint "IoU"
+            # (Gecko._iou with class_of_interest_channel=None,
+            # reptile.py:526-549 via joint_train.py:248-267) intersects the
+            # FULL one-hot maps, which degenerates to a pixel-accuracy form
+            # acc/(2-acc) — not a per-class IoU. Reproduced, not endorsed.
             inter = jnp.sum(preds == labels, axis=(1, 2)).astype(jnp.float32)
             total = labels.shape[1] * labels.shape[2]
             union = 2 * total - inter

@@ -208,7 +208,10 @@ class GeckoEvaluator:
                        key, lr: float, drop_rate: Optional[float] = None,
                        aug_rate: Optional[float] = 0.5) -> np.ndarray:
         """Per-task mean IoU for the given task indices. One compiled shape
-        (the chunk) reused across launches; the tail chunk is padded."""
+        (the chunk) reused across launches; the tail chunk is padded by
+        duplicating the last task — wasted compute on <=chunk-1 slots once
+        per call, deliberately preferred over compiling a second (tail)
+        program shape at ~45-70 s per TPU compile."""
         chunk = self.config.task_chunk_size
         drop_rate = jnp.float32(self._default_drop_rate() if drop_rate is None
                                 else drop_rate)

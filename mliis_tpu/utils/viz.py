@@ -43,9 +43,17 @@ def savefig_mask_on_image(image: np.ndarray, mask: np.ndarray,
     plt.close(fig)
 
 
+def predictions_dir() -> str:
+    """Overlay output dir: reference hardcodes "predictions/"
+    (reptile.py:512); PREDICTIONS_DIR overrides without breaking parity."""
+    return os.environ.get("PREDICTIONS_DIR", "predictions")
+
+
 def save_query_predictions(images, predictions, task_name: str,
-                           out_dir: str = "predictions") -> None:
+                           out_dir: Optional[str] = None) -> None:
     """Save one overlay per query image (reptile.py:508-513 layout)."""
+    if out_dir is None:
+        out_dir = predictions_dir()
     for i, (image, pred) in enumerate(zip(images, predictions)):
         save_path = os.path.join(
             out_dir, "prediction_{}_{}.jpeg".format(task_name or "", i))
