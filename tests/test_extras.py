@@ -134,6 +134,19 @@ def test_fine_tuned_checkpoint_and_predictions_export(tmp_path, monkeypatch):
     assert len(preds) == 2 * 5  # 2 tasks x 5 query images
 
 
+def test_predictions_dir_override(tmp_path, monkeypatch):
+    from mliis_tpu.utils import viz
+    # Parity default: the reference hardcodes "predictions/" (reptile.py:512)
+    monkeypatch.delenv("PREDICTIONS_DIR", raising=False)
+    assert viz.predictions_dir() == "predictions"
+    out = str(tmp_path / "elsewhere")
+    monkeypatch.setenv("PREDICTIONS_DIR", out)
+    img = np.random.rand(8, 8, 3).astype(np.float32)
+    pred = np.zeros((8, 8), bool)
+    viz.save_query_predictions([img], [pred], task_name="t")
+    assert os.path.isfile(os.path.join(out, "prediction_t_0.jpeg"))
+
+
 # ---------------- profiling ----------------
 
 def test_phase_timer(tmp_path):
