@@ -181,6 +181,24 @@ def _peak_flops_per_chip(device) -> float:
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        _run()
+    except BaseException as exc:  # noqa: BLE001 - the JSON line must survive
+        # A fatal error (e.g. the axon tunnel down: backend init raises
+        # UNAVAILABLE after its ~25-min attempt, which is past
+        # _wait_for_device's budget but BEFORE the watchdog deadline) must
+        # still leave a parseable, source-flagged line in the tail.
+        sys.stderr.write("bench fatal: {!r}\n".format(exc))
+        if not _state["printed"]:
+            _emit(_headline(
+                CACHED["fused_meta_step_s"],
+                value_source="cached_round3_builder_measurement "
+                             "(live run failed: {})".format(
+                                 type(exc).__name__)))
+        os._exit(0)
+
+
+def _run():
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # This environment's sitecustomize sets jax_platforms directly on
