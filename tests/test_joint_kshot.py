@@ -68,6 +68,45 @@ def test_joint_trainer_runs_and_checkpoints(tmp_path):
     assert any("Val IoU" in str(line) for line in logs)
 
 
+def test_joint_trainer_learns(tmp_path):
+    """Learning-direction regression for the joint path (the meta analogue
+    lives in tests/test_convergence.py). The reference's logged val metric
+    saturates near 0.83 at init on mostly-background synthetic images (it
+    degenerates to acc/(2-acc) — see JointTrainer._make_val_step), so the
+    learning assertion uses the val LOSS trajectory instead: a sign-flipped
+    gradient, a broken multi-step launch, or a mis-wired LR anneal fails
+    this while the run-and-checkpoint smoke above stays green."""
+    import re
+
+    import jax.numpy as jnp  # noqa: F401 - parity with sibling tests
+
+    store = make_synthetic_store(num_tasks=6, examples_per_task=10,
+                                 image_size=IMG, seed=0)
+    train_ds = joint_dataset_from_task_store(store)
+    model = TinySeg(n_output_channels=train_ds.num_classes + 1)
+    cfg = JointTrainConfig(batch_size=8, epochs=10, steps_per_epoch=10,
+                           learning_rate=0.05, final_learning_rate=0.01,
+                           augment=False, l2=False, eval_interval=1,
+                           val_batches=4, steps_per_launch=5,
+                           save_checkpoint_every_n_epochs=100)
+    trainer = JointTrainer(model, train_ds, train_ds, cfg,
+                           OptimizerConfig("sgd"))
+    state = init_model_state(model, jax.random.PRNGKey(0), IMG,
+                             OptimizerConfig("sgd"))
+    idx = jax.random.randint(jax.random.PRNGKey(5), (cfg.batch_size,), 0,
+                             train_ds.num_examples)
+    _, init_loss = trainer._val_step(state, idx)
+    init_loss = float(init_loss)
+    logs = []
+    trainer.train(state, str(tmp_path), jax.random.PRNGKey(1),
+                  log_fn=logs.append)
+    losses = [float(m.group(1)) for line in logs
+              for m in [re.search(r"\(loss ([0-9.eE+-]+)\)", str(line))] if m]
+    assert len(losses) == cfg.epochs
+    # calibrated on CPU: 1.90 init -> ~0.61 at epoch 10; require halving
+    assert losses[-1] < 0.5 * init_loss, (init_loss, losses)
+
+
 def test_k_shot_learning_curves(tmp_path):
     store = make_synthetic_store(num_tasks=2, examples_per_task=10,
                                  image_size=IMG)
