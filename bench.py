@@ -227,8 +227,11 @@ def _run():
     # larger images/batches.
     loss_cfg = LossConfig(dice=True, l2=True, remat=False)
     opt_cfg = OptimizerConfig(name="sgd")
-    state = init_model_state(model, jax.random.PRNGKey(0), IMAGE_SIZE,
-                             opt_cfg)
+    # Seed-form + jit_init: key construction stays inside the CPU scope (no
+    # tiny tunnel compiles) and the init graph is ONE program in the
+    # host-fingerprinted persistent CPU cache (~2 s warm vs ~35 s eager —
+    # experiments/compile_audit.py).
+    state = init_model_state(model, 0, IMAGE_SIZE, opt_cfg, jit_init=True)
 
     cfg = MetaTrainConfig(num_shots=10, inner_batch_size=INNER_BATCH,
                           inner_iters=INNER_ITERS,

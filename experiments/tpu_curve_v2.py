@@ -75,8 +75,8 @@ def main():
                           meta_batch_size=5, foml=True, tail_shots=5,
                           aug_rate=0.5)
     LR = 5e-4
-    state = init_model_state(model, jax.random.PRNGKey(0), args.image_size,
-                             opt_cfg)
+    state = init_model_state(model, 0, args.image_size, opt_cfg,
+                             jit_init=True)
     init_state = jax.tree_util.tree_map(jnp.array, state)  # random-init copy
 
     eval_cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=8,

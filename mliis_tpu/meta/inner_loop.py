@@ -93,18 +93,30 @@ def apply_optimizer(params: Pytree, grads: Pytree, opt_state: OptState,
 
 def init_model_state(model, key, image_size: int,
                      opt_config: OptimizerConfig,
-                     init_on_cpu: bool = True) -> ModelState:
+                     init_on_cpu: bool = True,
+                     jit_init: bool = False) -> ModelState:
     """Initialize params/BN stats/optimizer slots for a fresh model.
 
     Initialization compiles the full init graph; on accelerators behind slow
     compile paths that is pure waste, so by default it runs on the host CPU
     backend and the resulting (tiny) state is transferred to the default
-    device afterwards.
-    """
-    k_params, k_drop = jax.random.split(key)
-    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    device afterwards. `key` may be a PRNG key or a plain int seed; pass the
+    seed form from TPU sessions so key construction happens inside the CPU
+    scope (a TPU-side `PRNGKey`/`split` each costs a remote tunnel compile).
 
-    def _init():
+    jit_init=True compiles the whole init as ONE program cached in the
+    host-fingerprinted persistent CPU cache (experiments/compile_audit.py
+    measured eager init at ~405 tiny programs / ~34 s of compile per
+    process; the jitted form is one cacheable program, ~free when warm).
+    Eager stays the default: the test suite's many tiny model variants
+    share eager's per-op compile pool, while each would pay its own
+    jitted-init compile.
+    """
+    def _make_keys():
+        k = jax.random.PRNGKey(key) if isinstance(key, int) else key
+        return jax.random.split(k)
+
+    def _init(k_params, k_drop, dummy):
         variables = model.init({"params": k_params, "dropout": k_drop}, dummy,
                                train=True)
         params = variables["params"]
@@ -112,12 +124,21 @@ def init_model_state(model, key, image_size: int,
         return ModelState(params, batch_stats,
                           init_opt_state(params, opt_config))
 
+    def _run():
+        k_params, k_drop = _make_keys()
+        dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        if not jit_init:
+            return _init(k_params, k_drop, dummy)
+        from mliis_tpu.utils.cache import cpu_cache_scope
+        with cpu_cache_scope():
+            return jax.jit(_init)(k_params, k_drop, dummy)
+
     cpu_devices = jax.devices("cpu") if init_on_cpu else []
     if cpu_devices and jax.default_backend() != "cpu":
         with jax.default_device(cpu_devices[0]):
-            state = _init()
+            state = _run()
         return jax.device_put(state, jax.devices()[0])
-    return _init()
+    return _run()
 
 
 def make_loss_and_grad(model, loss_config: LossConfig):

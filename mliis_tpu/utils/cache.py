@@ -31,6 +31,32 @@ def enable_persistent_compilation_cache(cache_dir: str = None) -> bool:
         return False
 
 
+def cpu_cache_scope():
+    """Context manager: temporarily point the persistent cache at the
+    host-fingerprinted CPU dir, restoring the previous dir on exit.
+
+    For host-CPU compiles inside a TPU session (e.g. the jitted one-program
+    model init): the TPU cache dir must never hold XLA:CPU AOT executables
+    because /root persists across rounds while the build machine (and its
+    CPU feature set) changes — a stale CPU executable SIGILLs."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        import jax
+        prev = jax.config.jax_compilation_cache_dir
+        enable_cpu_compilation_cache()
+        try:
+            yield
+        finally:
+            try:
+                jax.config.update("jax_compilation_cache_dir", prev)
+            except Exception:  # noqa: BLE001 - restore is best-effort
+                pass
+
+    return _scope()
+
+
 def _host_fingerprint() -> str:
     """Short hash of the host CPU's feature set (XLA:CPU AOT executables are
     feature-set-specific; a stale cache from a different machine SIGILLs)."""

@@ -355,3 +355,27 @@ def test_train_step_deterministic(setup):
     for x, y in zip(jax.tree_util.tree_leaves(a.params),
                     jax.tree_util.tree_leaves(b.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_jit_init_matches_eager_init():
+    """jit_init=True (one cacheable CPU program, used by bench/TPU sessions)
+    must produce the same state as eager init: same tree, same seed-derived
+    values (fusion may reorder the normal transform by ~1 ulp), and the
+    int-seed form must equal the explicit-key form exactly."""
+    model = TinySeg()
+    opt_cfg = OptimizerConfig(name="adam")
+    eager = init_model_state(model, jax.random.PRNGKey(3), IMG, opt_cfg)
+    jitted = init_model_state(model, 3, IMG, opt_cfg, jit_init=True)
+    jitted_key = init_model_state(model, jax.random.PRNGKey(3), IMG, opt_cfg,
+                                  jit_init=True)
+    e_leaves = jax.tree_util.tree_leaves(eager)
+    j_leaves = jax.tree_util.tree_leaves(jitted)
+    k_leaves = jax.tree_util.tree_leaves(jitted_key)
+    assert len(e_leaves) == len(j_leaves) == len(k_leaves)
+    assert (jax.tree_util.tree_structure(eager)
+            == jax.tree_util.tree_structure(jitted))
+    for e, j, k in zip(e_leaves, j_leaves, k_leaves):
+        np.testing.assert_array_equal(np.asarray(j), np.asarray(k))
+        np.testing.assert_allclose(np.asarray(e, np.float64),
+                                   np.asarray(j, np.float64),
+                                   rtol=1e-6, atol=1e-7)
