@@ -164,6 +164,12 @@ def argument_parser():
     add('--mesh_tasks', type=int, default=0,
         help='If > 0, shard eval/meta-batch over this many devices along a '
              '"task" mesh axis.')
+    add('--mesh_data', type=int, default=0,
+        help='If > 1 (with --mesh_tasks), meta-train on a 2D (task, data) '
+             'mesh of mesh_tasks x mesh_data devices: each task\'s inner '
+             'batches split over the data axis with sync-BN and exact '
+             'axis-aware gradients (inner_batch must be a multiple). Eval '
+             'shards over all mesh_tasks*mesh_data devices on the task axis.')
     add('--rng_impl', choices=['threefry', 'rbg'], default='threefry',
         help='JAX PRNG implementation. rbg trades threefry\'s stream '
              'quality for ~4%% faster meta-steps on TPU (measured round 3); '
@@ -243,6 +249,7 @@ def train_loop_config(args) -> TrainLoopConfig:
         aug_rate=args.aug_rate,
         task_group_size=args.task_group_size or None,
         mesh_tasks=args.mesh_tasks,
+        mesh_data=getattr(args, "mesh_data", 0),
         chain_tasks=args.chain_tasks,
         chain_eval_chunk=args.chain_eval_chunk)
 

@@ -149,7 +149,10 @@ def _main_impl(args, start_time):
     mesh = None
     if args.mesh_tasks:
         from mliis_tpu.parallel.mesh import make_task_mesh
-        mesh = make_task_mesh(args.mesh_tasks)
+        # Eval/UHO shard tasks over ALL devices: with --mesh_data the 2D
+        # (task, data) layout is a training-step concern (meta/train.py);
+        # evaluation treats the same devices as one task axis.
+        mesh = make_task_mesh(args.mesh_tasks * max(1, args.mesh_data))
 
     if args.optimize_update_hyperparms_on_val_set:
         print("Optimizing the update routine hyperparams on the val set")

@@ -124,7 +124,8 @@ def assemble_batch(support_images_u8: jnp.ndarray,
                    idx: jnp.ndarray, key,
                    aug_rate: Optional[float] = None,
                    augment: bool = True,
-                   use_pallas: bool = False
+                   use_pallas: bool = False,
+                   key_offset=0, key_total=None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather one inner-loop batch and augment it on-device.
 
@@ -136,6 +137,10 @@ def assemble_batch(support_images_u8: jnp.ndarray,
         meta-training runs at when no aug_rate is passed).
       use_pallas: fuse the cheap composition in VMEM
         (ops.augment.augment_batch_pallas; distributionally equivalent).
+      key_offset/key_total: when `idx` is the local slice of a batch split
+        over a mesh data axis, the global batch size and this shard's first
+        global position — per-sample keys then match the unsharded batch
+        (ops.augment._batch_keys).
     Returns: images [B, H, W, 3] float32 in [0,255], masks [B, H, W, 2] f32.
     """
     from mliis_tpu.ops.augment import (augment_batch,  # local: avoid cycle
@@ -147,5 +152,8 @@ def assemble_batch(support_images_u8: jnp.ndarray,
         return images, masks
     prob_original = None if aug_rate is None else 1.0 - aug_rate
     if use_pallas:
-        return augment_batch_pallas(key, images, masks, prob_original)
-    return augment_batch(key, images, masks, prob_original)
+        return augment_batch_pallas(key, images, masks, prob_original,
+                                    key_offset=key_offset,
+                                    key_total=key_total)
+    return augment_batch(key, images, masks, prob_original,
+                         key_offset=key_offset, key_total=key_total)

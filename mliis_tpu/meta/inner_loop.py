@@ -48,6 +48,25 @@ class OptimizerConfig:
     epsilon: float = 1e-8
 
 
+@dataclasses.dataclass(frozen=True)
+class DataShardSpec:
+    """Split each inner-loop batch over a mesh data axis (sync-BN DP inside
+    one task's adaptation — the meta-path generalization of the reference's
+    TpuBatchNormalization cross-replica design, efficientnet/utils.py:96-134).
+
+    The model must be constructed with `bn_axis_name == axis_name` so BN
+    moments cross the axis, and the inner batch size must be a multiple of
+    `num_shards`. Gradients are exact (axis-aware loss + pmean, see
+    make_loss_and_grad); per-sample augmentation draws are global-position
+    keyed, so results match the unsharded step up to reduction order —
+    except dropout, whose whole-batch mask is not shardable by key: each
+    shard folds its own stream (distribution unchanged, like the joint DP
+    path, joint/trainer.py:279-283).
+    """
+    axis_name: str
+    num_shards: int
+
+
 class OptState(NamedTuple):
     step: jnp.ndarray           # scalar int32
     v: Pytree                   # second-moment accumulator (zeros for sgd)
@@ -141,9 +160,23 @@ def init_model_state(model, key, image_size: int,
     return _run()
 
 
-def make_loss_and_grad(model, loss_config: LossConfig):
+def make_loss_and_grad(model, loss_config: LossConfig,
+                       data_axis_name: Optional[str] = None):
     """(params, batch_stats, images, masks, key, drop_rate) ->
-    ((loss, new_batch_stats), grads)."""
+    ((loss, new_batch_stats), grads).
+
+    With `data_axis_name`, `images`/`masks` are each shard's slice of a
+    batch split over that mesh axis: the loss computes its batch-global
+    value via axis-crossing reductions (ops/losses.py) and gradients are
+    `pmean`'d. pmean — not psum — is exact here: with the collective inside
+    the loss, each shard's raw gradient comes out at num_shards x its local
+    samples' contribution (the psum VJP re-broadcasts the output cotangent
+    to every shard), while the replicated l2/l1 parameter terms appear at
+    true scale on every shard; pmean simultaneously rescales the former to
+    the exact full-batch data gradient and preserves the latter (verified
+    against the unsharded step in tests/test_parallel.py). The model must
+    be built with `bn_axis_name == data_axis_name` for sync-BN moments.
+    """
 
     def forward(params, batch_stats, images, key, drop_rate):
         return model.apply(
@@ -162,35 +195,63 @@ def make_loss_and_grad(model, loss_config: LossConfig):
             label_smoothing=loss_config.label_smoothing,
             dice=loss_config.dice,
             binary_iou_loss=loss_config.binary_iou_loss,
-            l2=loss_config.l2, l1=loss_config.l1, darc1=loss_config.darc1)
+            l2=loss_config.l2, l1=loss_config.l1, darc1=loss_config.darc1,
+            data_axis_name=data_axis_name)
         return loss, mutated["batch_stats"]
 
-    return jax.value_and_grad(loss_fn, has_aux=True)
+    value_and_grad = jax.value_and_grad(loss_fn, has_aux=True)
+    if data_axis_name is None:
+        return value_and_grad
+
+    def synced(*args):
+        (loss, new_bn), grads = value_and_grad(*args)
+        return (loss, new_bn), jax.lax.pmean(grads, data_axis_name)
+
+    return synced
 
 
 def sgd_scan_step(model, loss_config: LossConfig,
                   opt_config: OptimizerConfig,
                   weight_decay_rate: float = 1.0,
-                  pallas_augment: Optional[bool] = None):
+                  pallas_augment: Optional[bool] = None,
+                  data_shard: Optional[DataShardSpec] = None):
     """One inner step: (state, (batch_idx, key, lr)) -> state.
 
     Batch gather + augmentation happen inside the step so augmented batches
     are never materialized outside the scan (HBM-friendly).
     pallas_augment None = auto: the fused kernel path on TPU backends only
     (the interpret-mode kernel is slow on CPU).
+    With `data_shard` the step runs inside a shard_map over the data axis:
+    each shard takes its contiguous slice of the batch indices, augments it
+    with global-position keys, and the loss/grads cross the axis (see
+    DataShardSpec / make_loss_and_grad).
     """
     if pallas_augment is None:
         pallas_augment = jax.default_backend() == "tpu"
-    loss_and_grad = make_loss_and_grad(model, loss_config)
+    axis_name = data_shard.axis_name if data_shard else None
+    loss_and_grad = make_loss_and_grad(model, loss_config,
+                                       data_axis_name=axis_name)
 
     def step(carry, xs, support_images_u8, support_masks_u8, drop_rate,
              aug_rate, augment):
         state = carry
         idx, key, lr = xs
         k_aug, k_drop = jax.random.split(key)
+        key_offset, key_total = 0, None
+        if data_shard is not None:
+            total = idx.shape[0]
+            local = total // data_shard.num_shards
+            key_offset = jax.lax.axis_index(data_shard.axis_name) * local
+            key_total = total
+            idx = jax.lax.dynamic_slice_in_dim(idx, key_offset, local)
+            # The whole-batch dropout mask is not shardable by key: give
+            # each shard its own stream (distribution unchanged; same
+            # policy as the joint DP path, joint/trainer.py:279-283).
+            k_drop = jax.random.fold_in(k_drop, key_offset)
         images, masks = episodes.assemble_batch(
             support_images_u8, support_masks_u8, idx, k_aug,
-            aug_rate=aug_rate, augment=augment, use_pallas=pallas_augment)
+            aug_rate=aug_rate, augment=augment, use_pallas=pallas_augment,
+            key_offset=key_offset, key_total=key_total)
         params = state.params
         if weight_decay_rate != 1.0:
             # pre-step op: multiplicative decay of all trainable vars
@@ -232,7 +293,8 @@ def precompute_augmented_batches(support_images_u8, support_masks_u8,
 def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
                   weight_decay_rate: float = 1.0, augment: bool = True,
                   precompute_augment: bool = False,
-                  pallas_augment: Optional[bool] = None) -> Callable:
+                  pallas_augment: Optional[bool] = None,
+                  data_shard: Optional[DataShardSpec] = None) -> Callable:
     """Builds adapt(state, support_images_u8, support_masks_u8, idx_matrix,
     keys, lrs, drop_rate, aug_rate) -> (adapted ModelState, per-step losses).
 
@@ -244,9 +306,16 @@ def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
     augmenting inside the scan body. Same per-step batches (same keys) up to
     the bf16 staging round; trades HBM (steps*batch images) for a much
     smaller scan body — the escape hatch for compile-cost-sensitive setups.
+
+    `data_shard` splits every step's batch over a mesh data axis (see
+    DataShardSpec); incompatible with precompute_augment.
     """
+    if data_shard is not None:
+        assert not precompute_augment, \
+            "data_shard + precompute_augment is not supported"
     step_fn = sgd_scan_step(model, loss_config, opt_config, weight_decay_rate,
-                            pallas_augment=pallas_augment)
+                            pallas_augment=pallas_augment,
+                            data_shard=data_shard)
     loss_and_grad = make_loss_and_grad(model, loss_config)
 
     def adapt(state: ModelState, support_images_u8, support_masks_u8,

@@ -78,7 +78,7 @@ def _mean_state_over_tasks(states: ModelState) -> Tuple[Pytree, Pytree]:
 
 def make_per_task_fn(model, loss_config: LossConfig,
                      opt_config: OptimizerConfig, config: MetaTrainConfig,
-                     n_max: int):
+                     n_max: int, data_shard=None):
     """The single-task half of a meta-step, shared by the single-device,
     microbatched, and mesh-sharded train steps (parallel/mesh.py), so every
     execution strategy has bit-identical per-task semantics.
@@ -88,12 +88,20 @@ def make_per_task_fn(model, loss_config: LossConfig,
     displacement (reptile.py:605-647) or, for Reptile, the adapted params
     themselves (the outer step interpolates toward their mean,
     reptile.py:64-125).
+
+    `data_shard` (inner_loop.DataShardSpec) splits every augmented inner
+    batch over a mesh data axis with sync-BN and exact axis-aware gradients.
+    The FOMAML* tail step is NOT sharded: its tail_shots batch need not
+    divide the axis, so every shard runs the full (tiny, un-augmented) tail
+    batch identically — replication keeps it exact at the cost of one
+    redundant step out of inner_iters.
     """
     adapt = make_adapt_fn(model, loss_config, opt_config,
                           weight_decay_rate=config.weight_decay_rate,
                           augment=config.augment,
                           precompute_augment=config.precompute_augment,
-                          pallas_augment=config.pallas_augment)
+                          pallas_augment=config.pallas_augment,
+                          data_shard=data_shard)
 
     if not config.foml:
         # Gecko.train_step does not forward aug_rate -> default gate.

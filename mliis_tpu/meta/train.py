@@ -54,6 +54,13 @@ class TrainLoopConfig:
     # task_group_size: sharding already divides per-chip HBM pressure by the
     # mesh size.
     mesh_tasks: int = 0
+    # When > 1 (with mesh_tasks), meta-train on a 2D (task, data) mesh of
+    # mesh_tasks x mesh_data devices: each task row splits every inner-loop
+    # batch over the data axis with sync-BN and exact axis-aware gradients
+    # (inner_loop.DataShardSpec). The training model is swapped for a
+    # bn_axis_name="data" copy; eval-interval evaluators keep the plain
+    # model and shard over all mesh_tasks*mesh_data devices' task axis.
+    mesh_data: int = 0
     # Run the meta-batch sequentially INSIDE one compiled launch (lax.scan
     # over task slots, learners.make_chained_train_step): the single-task
     # activation footprint of task_group_size=1 without its per-group launch
@@ -73,14 +80,27 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
     os.makedirs(save_dir, exist_ok=True)
     cfg = loop_config
 
-    mesh = None
+    mesh = train_mesh = None
     if cfg.mesh_tasks:
-        from mliis_tpu.parallel.mesh import (make_sharded_train_step,
+        from mliis_tpu.parallel.mesh import (DATA_AXIS,
+                                             make_sharded_train_step,
+                                             make_task_data_mesh,
                                              make_task_mesh)
-        mesh = make_task_mesh(cfg.mesh_tasks)
+        train_model = model
+        if cfg.mesh_data and cfg.mesh_data > 1:
+            # 2D (task, data) mesh: the training model gets sync-BN over the
+            # data axis (same params/variables tree — bn_axis_name only
+            # changes moment reduction), the evaluators keep `model` and a
+            # task-only mesh over all devices.
+            train_mesh = make_task_data_mesh(cfg.mesh_tasks, cfg.mesh_data)
+            train_model = dataclasses.replace(model,
+                                              bn_axis_name=DATA_AXIS)
+            mesh = make_task_mesh(cfg.mesh_tasks * cfg.mesh_data)
+        else:
+            train_mesh = mesh = make_task_mesh(cfg.mesh_tasks)
         train_step = make_sharded_train_step(
-            model, loss_config, opt_config, meta_config,
-            n_max=train_store.images.shape[1], mesh=mesh)
+            train_model, loss_config, opt_config, meta_config,
+            n_max=train_store.images.shape[1], mesh=train_mesh)
     elif cfg.chain_tasks:
         train_step = jax.jit(
             make_chained_train_step(model, loss_config, opt_config,
@@ -130,10 +150,13 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
     store_images, store_masks, store_counts = device_store_arrays(train_store)
     if mesh is not None:
         from mliis_tpu.parallel.mesh import replicate_to_mesh
+        # Replicate over the TRAINING mesh (2D when mesh_data is set; it
+        # spans the same device set as the eval task mesh, and a fully
+        # replicated layout is valid input for both programs).
         store_images, store_masks, store_counts = replicate_to_mesh(
-            (store_images, store_masks, store_counts), mesh)
+            (store_images, store_masks, store_counts), train_mesh)
         state = replicate_to_mesh(
-            jax.tree_util.tree_map(jnp.array, state), mesh)
+            jax.tree_util.tree_map(jnp.array, state), train_mesh)
 
     best_eval_iou = -np.inf
     best_save_dir = os.path.join(save_dir, "best_eval")

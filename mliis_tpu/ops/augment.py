@@ -689,10 +689,25 @@ def apply_augmentations(key, image: jnp.ndarray, mask: jnp.ndarray,
     return image, mask
 
 
+def _batch_keys(key, batch: int, key_offset=0, key_total=None) -> jnp.ndarray:
+    """Per-sample keys for a (possibly sharded) batch.
+
+    The unsharded form is `split(key, B)`. When the batch is the local slice
+    of a larger batch split over a mesh data axis, `key_total` is the global
+    batch size and `key_offset` this shard's first global sample position,
+    so every global sample draws the same augmentations wherever it runs."""
+    total = batch if key_total is None else key_total
+    keys = jax.random.split(key, total)
+    if key_total is None:
+        return keys
+    return jax.lax.dynamic_slice_in_dim(keys, key_offset, batch)
+
+
 def augment_batch(key, images: jnp.ndarray, masks: jnp.ndarray,
-                  prob_to_return_original=None) -> Pair:
+                  prob_to_return_original=None, key_offset=0,
+                  key_total=None) -> Pair:
     """Per-sample augmentation over a batch: [B, H, W, C] inputs."""
-    keys = jax.random.split(key, images.shape[0])
+    keys = _batch_keys(key, images.shape[0], key_offset, key_total)
     return jax.vmap(
         lambda k, im, mk: apply_augmentations(k, im, mk, prob_to_return_original)
     )(keys, images, masks)
@@ -700,7 +715,8 @@ def augment_batch(key, images: jnp.ndarray, masks: jnp.ndarray,
 
 def augment_batch_pallas(key, images: jnp.ndarray, masks: jnp.ndarray,
                          prob_to_return_original=None,
-                         interpret: Optional[bool] = None) -> Pair:
+                         interpret: Optional[bool] = None, key_offset=0,
+                         key_total=None) -> Pair:
     """Batch augmentation with the cheap composition fused in Pallas.
 
     Same composition semantics as `augment_batch` (gate, random prefix of a
@@ -732,7 +748,7 @@ def augment_batch_pallas(key, images: jnp.ndarray, masks: jnp.ndarray,
     exp_idx = AUG_FUNCS.index(rotate_img_mask)
     c_img = images.shape[-1]
     b = images.shape[0]
-    keys = jax.random.split(key, b)
+    keys = _batch_keys(key, b, key_offset, key_total)
 
     def draws(k):
         k_gate, k_perm, k_count, k_fns = jax.random.split(k, 4)

@@ -28,9 +28,19 @@ Pytree = Any
 _BN_PATH_TOKENS = ("batch_normalization", "batchnorm", "bn")
 
 
+def _axis_sum(x, data_axis_name: Optional[str]):
+    """Sum a local reduction across a device mesh axis (identity when the
+    computation is not sharded). Used to make batch-global reductions exact
+    when the batch dimension is split over a `shard_map` data axis."""
+    if data_axis_name is None:
+        return x
+    return jax.lax.psum(x, data_axis_name)
+
+
 def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                           label_smoothing: float = 0.0,
-                          weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                          weights: Optional[jnp.ndarray] = None,
+                          data_axis_name: Optional[str] = None) -> jnp.ndarray:
     """Label-smoothed softmax cross entropy, mean over (weighted) examples.
 
     Args:
@@ -38,6 +48,9 @@ def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
       labels: [M, C] one-hot (or soft) targets.
       weights: optional [M] per-example weights; mean is taken over examples
         with nonzero weight.
+      data_axis_name: when M is the local shard of a batch split over a mesh
+        axis, reductions cross the axis so the result equals the full-batch
+        mean (every shard returns the same global scalar).
     """
     num_classes = logits.shape[-1]
     if label_smoothing:
@@ -45,9 +58,13 @@ def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     per_example = -jnp.sum(labels * log_probs, axis=-1)
     if weights is None:
-        return jnp.mean(per_example)
-    num_nonzero = jnp.maximum(jnp.sum(weights != 0), 1)
-    return jnp.sum(per_example * weights) / num_nonzero
+        total = _axis_sum(jnp.sum(per_example), data_axis_name)
+        count = _axis_sum(jnp.asarray(per_example.shape[0], per_example.dtype),
+                          data_axis_name)
+        return total / count
+    num_nonzero = jnp.maximum(
+        _axis_sum(jnp.sum(weights != 0), data_axis_name), 1)
+    return _axis_sum(jnp.sum(per_example * weights), data_axis_name) / num_nonzero
 
 
 def soft_dice_adjustment(ce_loss: jnp.ndarray, iou: jnp.ndarray) -> jnp.ndarray:
@@ -85,16 +102,19 @@ def l1_term(params: Pytree, weight_decay: float = 0.0005) -> jnp.ndarray:
 
 
 def darc1_term(logits: jnp.ndarray, weight: float = 0.0005,
-               example_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               example_weights: Optional[jnp.ndarray] = None,
+               data_axis_name: Optional[str] = None) -> jnp.ndarray:
     """DARC1 regularizer on final activations; batch dim first.
 
     `example_weights` masks padded batch slots out of the batch sum (the
     other loss terms already honor it; unmasked garbage logits would
-    otherwise feed the regularizer's gradient)."""
+    otherwise feed the regularizer's gradient). With `data_axis_name` the
+    batch sum crosses the mesh axis before the max (the batch-global
+    semantics of the unsharded term)."""
     flat = jnp.abs(logits.reshape(logits.shape[0], -1))
     if example_weights is not None:
         flat = flat * example_weights[:, None]
-    return weight * jnp.max(jnp.sum(flat, axis=0))
+    return weight * jnp.max(_axis_sum(jnp.sum(flat, axis=0), data_axis_name))
 
 
 def segmentation_loss(logits: jnp.ndarray, probabilities: jnp.ndarray,
@@ -102,12 +122,20 @@ def segmentation_loss(logits: jnp.ndarray, probabilities: jnp.ndarray,
                       label_smoothing: float = 0.0, dice: bool = True,
                       binary_iou_loss: bool = True, l2: bool = True,
                       l1: bool = False, darc1: bool = False,
-                      example_weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      example_weights: Optional[jnp.ndarray] = None,
+                      data_axis_name: Optional[str] = None) -> jnp.ndarray:
     """The full EfficientLab training loss (efficientlab.py:294-317).
 
     Args:
       logits: [N, H, W, C]; probabilities: softmax(logits); labels: [N, H, W, C].
       example_weights: optional [N] mask for padded batch slots.
+      data_axis_name: set when N is the local shard of a batch split over a
+        mesh axis: every batch-level reduction (CE mean, the dice term's
+        mean IoU, darc1's batch sum) crosses the axis, so each shard returns
+        the exact full-batch loss. The l2/l1 parameter terms are computed
+        locally (params are replicated, so they are already identical on
+        every shard, and `lax.pmean` of the resulting gradients keeps them
+        at their true scale — see inner_loop.make_loss_and_grad).
     """
     n, h, w, c = logits.shape
     flat_logits = logits.reshape(-1, c)
@@ -116,7 +144,8 @@ def segmentation_loss(logits: jnp.ndarray, probabilities: jnp.ndarray,
     if example_weights is not None:
         pixel_weights = jnp.repeat(example_weights, h * w)
     loss = softmax_cross_entropy(flat_logits, flat_labels, label_smoothing,
-                                 weights=pixel_weights)
+                                 weights=pixel_weights,
+                                 data_axis_name=data_axis_name)
     if dice:
         if binary_iou_loss:
             true_flat = labels[..., 1].reshape(n, -1)
@@ -126,13 +155,18 @@ def segmentation_loss(logits: jnp.ndarray, probabilities: jnp.ndarray,
             pred_flat = probabilities.reshape(n, -1)
         per_image_iou = soft_iou_flat_per_example(true_flat, pred_flat)
         if example_weights is None:
-            iou = jnp.mean(per_image_iou)
+            iou = (_axis_sum(jnp.sum(per_image_iou), data_axis_name)
+                   / _axis_sum(jnp.asarray(n, per_image_iou.dtype),
+                               data_axis_name))
         else:
-            iou = (jnp.sum(per_image_iou * example_weights)
-                   / jnp.maximum(jnp.sum(example_weights), 1))
+            iou = (_axis_sum(jnp.sum(per_image_iou * example_weights),
+                             data_axis_name)
+                   / jnp.maximum(_axis_sum(jnp.sum(example_weights),
+                                           data_axis_name), 1))
         loss = soft_dice_adjustment(loss, iou)
     if darc1:
-        loss = loss + darc1_term(logits, example_weights=example_weights)
+        loss = loss + darc1_term(logits, example_weights=example_weights,
+                                 data_axis_name=data_axis_name)
     if params is not None:
         if l2:
             loss = loss + l2_term(params)

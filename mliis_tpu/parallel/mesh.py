@@ -53,6 +53,22 @@ def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def make_task_data_mesh(num_task_devices: int,
+                        num_data_devices: int) -> Mesh:
+    """2D (task, data) mesh: the meta-batch shards over the task axis while
+    each task's inner-loop batch splits over the data axis with sync-BN —
+    full utilization when meta_batch < device count, and per-device
+    activation-memory headroom for larger images/batches."""
+    n = num_task_devices * num_data_devices
+    devices = jax.devices()[:n]
+    assert len(devices) == n, \
+        "need {} devices for a {}x{} mesh".format(n, num_task_devices,
+                                                  num_data_devices)
+    return Mesh(np.array(devices).reshape(num_task_devices,
+                                          num_data_devices),
+                (TASK_AXIS, DATA_AXIS))
+
+
 def make_sharded_train_step(model, loss_config: LossConfig,
                             opt_config: OptimizerConfig,
                             config: MetaTrainConfig, n_max: int, mesh: Mesh):
@@ -64,11 +80,32 @@ def make_sharded_train_step(model, loss_config: LossConfig,
     given key this step is numerically identical to the unsharded
     learners.make_train_step up to psum reduction order (asserted by
     tests/test_parallel.py).
+
+    With a 2D (task, data) mesh (make_task_data_mesh) each task row's inner
+    batches additionally split over the data axis: sync-BN moments and
+    axis-aware loss reductions make the per-task adaptation exact w.r.t.
+    the unsharded step (inner_loop.DataShardSpec; dropout streams excepted).
     """
     num_devices = mesh.shape[TASK_AXIS]
     m = config.meta_batch_size
     local_n = -(-m // num_devices)  # ceil
-    per_task = make_per_task_fn(model, loss_config, opt_config, config, n_max)
+    data_shard = None
+    if DATA_AXIS in mesh.shape:
+        from mliis_tpu.meta.inner_loop import DataShardSpec
+        n_data = mesh.shape[DATA_AXIS]
+        if n_data > 1:
+            assert config.inner_batch_size % n_data == 0, \
+                "inner_batch_size must be a multiple of the data-mesh size"
+            bn_axis = getattr(model, "bn_axis_name", None)
+            assert bn_axis == DATA_AXIS, (
+                "a (task, data) mesh requires the model built with "
+                "bn_axis_name='data' (sync-BN); got {!r}".format(bn_axis))
+            assert not config.precompute_augment, \
+                "data-axis sharding augments in-scan (precompute unsupported)"
+            data_shard = DataShardSpec(axis_name=DATA_AXIS,
+                                       num_shards=n_data)
+    per_task = make_per_task_fn(model, loss_config, opt_config, config, n_max,
+                                data_shard=data_shard)
 
     def shard_fn(state, store_images, store_masks, counts, key,
                  meta_step_size, lr):

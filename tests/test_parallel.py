@@ -273,3 +273,69 @@ def test_sync_bn_matches_full_batch():
     for a, b in zip(jax.tree_util.tree_leaves(mut),
                     jax.tree_util.tree_leaves(ref_mut)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("n_task,n_data,foml,tail", [
+    (2, 4, False, None),
+    (4, 2, True, 2),
+])
+def test_2d_task_data_mesh_matches_unsharded(setup, n_task, n_data, foml,
+                                             tail):
+    """(task, data) mesh: the meta-batch shards over the task axis while
+    every inner-loop batch splits over the data axis (sync-BN + axis-aware
+    loss + global-position augmentation keys + pmean'd grads). Must match
+    the single-device step up to reduction order — WITH augmentation on,
+    exercising the sharded per-sample key derivation, and with the dice and
+    l2 loss terms on, exercising the axis-aware reductions and the
+    replicated-parameter-term gradient scale."""
+    from mliis_tpu.parallel.mesh import make_task_data_mesh
+    store, _, _, opt_cfg, _ = setup
+    loss_cfg = LossConfig(dice=True, l2=True)
+    plain_model = TinySeg()
+    synced_model = TinySeg(bn_axis_name="data")
+    state = init_model_state(plain_model, jax.random.PRNGKey(0), IMG, opt_cfg)
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=4, inner_iters=3,
+                          meta_batch_size=3, foml=foml, tail_shots=tail,
+                          augment=True, aug_rate=0.7)
+    mesh = make_task_data_mesh(n_task, n_data)
+    sharded = make_sharded_train_step(synced_model, loss_cfg, opt_cfg, cfg,
+                                      n_max=10, mesh=mesh)
+    plain = jax.jit(make_train_step(plain_model, loss_cfg, opt_cfg, cfg,
+                                    n_max=10))
+    imgs, msks, cnts = (jnp.asarray(store.images), jnp.asarray(store.masks),
+                        jnp.asarray(store.counts))
+    key = jax.random.PRNGKey(7)
+    b = plain(state, imgs, msks, cnts, key, jnp.float32(0.3),
+              jnp.float32(0.01))
+    state_r = replicate_to_mesh(jax.tree_util.tree_map(jnp.array, state),
+                                mesh)
+    args_r = replicate_to_mesh((imgs, msks, cnts), mesh)
+    a = sharded(state_r, *args_r, key, jnp.float32(0.3), jnp.float32(0.01))
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(a.batch_stats),
+                    jax.tree_util.tree_leaves(b.batch_stats)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_train_gecko_2d_mesh_smoke(setup, tmp_path):
+    """train_gecko drives the 2D (task, data) mesh end-to-end: mesh_data > 1
+    swaps the training model for a sync-BN copy while the eval-interval
+    evaluators keep the plain model on a task-only mesh."""
+    from mliis_tpu.meta.train import TrainLoopConfig, train_gecko
+    store, model, loss_cfg, opt_cfg, state = setup
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=4, inner_iters=2,
+                          meta_batch_size=3, foml=True, tail_shots=2,
+                          augment=True, aug_rate=0.5)
+    loop = TrainLoopConfig(meta_iters=2, eval_interval=1,
+                           num_tasks_to_eval=2, eval_inner_iters=2,
+                           eval_inner_batch_size=4, num_eval_shots=4,
+                           mesh_tasks=4, mesh_data=2,
+                           save_checkpoint_every_n_meta_iters=100)
+    out = train_gecko(model, jax.tree_util.tree_map(jnp.array, state),
+                      store, store, str(tmp_path), loss_cfg, opt_cfg, cfg,
+                      loop, jax.random.PRNGKey(0), log_fn=lambda *a: None,
+                      eval_task_chunk_size=8)
+    for leaf in jax.tree_util.tree_leaves(out.params):
+        assert np.isfinite(np.asarray(leaf)).all()
