@@ -64,7 +64,9 @@ class TrainLoopConfig:
     # Run the meta-batch sequentially INSIDE one compiled launch (lax.scan
     # over task slots, learners.make_chained_train_step): the single-task
     # activation footprint of task_group_size=1 without its per-group launch
-    # gaps. Ignored when mesh_tasks is set.
+    # gaps. Composes with mesh_tasks: each device then chains its LOCAL task
+    # slots (lax.map) instead of vmapping them — relevant when meta_batch
+    # exceeds the mesh size.
     chain_tasks: bool = False
     # Same strategy for the eval-interval evaluators' chunks (lax.map).
     chain_eval_chunk: bool = False
@@ -100,7 +102,8 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
             train_mesh = mesh = make_task_mesh(cfg.mesh_tasks)
         train_step = make_sharded_train_step(
             train_model, loss_config, opt_config, meta_config,
-            n_max=train_store.images.shape[1], mesh=train_mesh)
+            n_max=train_store.images.shape[1], mesh=train_mesh,
+            chain_local=cfg.chain_tasks)
     elif cfg.chain_tasks:
         train_step = jax.jit(
             make_chained_train_step(model, loss_config, opt_config,

@@ -71,7 +71,8 @@ def make_task_data_mesh(num_task_devices: int,
 
 def make_sharded_train_step(model, loss_config: LossConfig,
                             opt_config: OptimizerConfig,
-                            config: MetaTrainConfig, n_max: int, mesh: Mesh):
+                            config: MetaTrainConfig, n_max: int, mesh: Mesh,
+                            chain_local: bool = False):
     """Meta-train step with the meta-batch sharded over the task axis.
 
     Per-task semantics come from learners.make_per_task_fn — the same
@@ -85,6 +86,12 @@ def make_sharded_train_step(model, loss_config: LossConfig,
     batches additionally split over the data axis: sync-BN moments and
     axis-aware loss reductions make the per-task adaptation exact w.r.t.
     the unsharded step (inner_loop.DataShardSpec; dropout streams excepted).
+
+    chain_local=True runs each device's local task slots sequentially
+    inside the program (lax.map) instead of vmapping them — the sharded
+    form of learners.make_chained_train_step, for meta_batch > mesh size:
+    single-task activation footprint per device (per-task time rises with
+    vmap width on v5e — docs/PERF_NOTES.md). Identical numbers either way.
     """
     num_devices = mesh.shape[TASK_AXIS]
     m = config.meta_batch_size
@@ -121,10 +128,16 @@ def make_sharded_train_step(model, loss_config: LossConfig,
         inner_keys = episodes.slot_keys(k_inner, local_n, offset=offset)
         weights = (global_slots < m).astype(jnp.float32)
 
-        updates, finals = jax.vmap(
-            per_task, in_axes=(None, 0, 0, 0, 0, None)
-        )(state, store_images[task_ids], store_masks[task_ids],
-          counts[task_ids], inner_keys, lr)
+        if chain_local:
+            updates, finals = jax.lax.map(
+                lambda xs: per_task(state, xs[0], xs[1], xs[2], xs[3], lr),
+                (store_images[task_ids], store_masks[task_ids],
+                 counts[task_ids], inner_keys))
+        else:
+            updates, finals = jax.vmap(
+                per_task, in_axes=(None, 0, 0, 0, 0, None)
+            )(state, store_images[task_ids], store_masks[task_ids],
+              counts[task_ids], inner_keys, lr)
 
         def wmean(tree):
             # Global mean over exactly the m real tasks: sum(w*x)/m locally

@@ -339,3 +339,32 @@ def test_train_gecko_2d_mesh_smoke(setup, tmp_path):
                       eval_task_chunk_size=8)
     for leaf in jax.tree_util.tree_leaves(out.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sharded_chain_local_matches_vmapped(setup):
+    """chain_local=True (each device runs its local task slots via lax.map,
+    the sharded form of the chained step) must equal the vmapped sharded
+    step exactly — meta_batch 6 on 4 devices, so devices really chain 2."""
+    store, model, loss_cfg, opt_cfg, state = setup
+    mesh = make_task_mesh(4)
+    cfg = MetaTrainConfig(num_shots=6, inner_batch_size=3, inner_iters=2,
+                          meta_batch_size=6, foml=True, tail_shots=2,
+                          augment=True, aug_rate=0.5)
+    kwargs = dict(n_max=10, mesh=mesh)
+    chained = make_sharded_train_step(model, loss_cfg, opt_cfg, cfg,
+                                      chain_local=True, **kwargs)
+    vmapped = make_sharded_train_step(model, loss_cfg, opt_cfg, cfg,
+                                      **kwargs)
+    imgs, msks, cnts = (jnp.asarray(store.images), jnp.asarray(store.masks),
+                        jnp.asarray(store.counts))
+    key = jax.random.PRNGKey(11)
+    args = replicate_to_mesh((imgs, msks, cnts), mesh)
+    a = chained(replicate_to_mesh(jax.tree_util.tree_map(jnp.array, state),
+                                  mesh),
+                *args, key, jnp.float32(0.3), jnp.float32(0.01))
+    b = vmapped(replicate_to_mesh(jax.tree_util.tree_map(jnp.array, state),
+                                  mesh),
+                *args, key, jnp.float32(0.3), jnp.float32(0.01))
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
