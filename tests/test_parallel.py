@@ -275,12 +275,13 @@ def test_sync_bn_matches_full_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-@pytest.mark.parametrize("n_task,n_data,foml,tail", [
-    (2, 4, False, None),
-    (4, 2, True, 2),
+@pytest.mark.parametrize("n_task,n_data,foml,tail,chain_local", [
+    (2, 4, False, None, False),
+    (4, 2, True, 2, False),
+    (2, 2, True, 2, True),  # 2D + chained local slots (meta_batch 3 on 2)
 ])
 def test_2d_task_data_mesh_matches_unsharded(setup, n_task, n_data, foml,
-                                             tail):
+                                             tail, chain_local):
     """(task, data) mesh: the meta-batch shards over the task axis while
     every inner-loop batch splits over the data axis (sync-BN + axis-aware
     loss + global-position augmentation keys + pmean'd grads). Must match
@@ -299,7 +300,8 @@ def test_2d_task_data_mesh_matches_unsharded(setup, n_task, n_data, foml,
                           augment=True, aug_rate=0.7)
     mesh = make_task_data_mesh(n_task, n_data)
     sharded = make_sharded_train_step(synced_model, loss_cfg, opt_cfg, cfg,
-                                      n_max=10, mesh=mesh)
+                                      n_max=10, mesh=mesh,
+                                      chain_local=chain_local)
     plain = jax.jit(make_train_step(plain_model, loss_cfg, opt_cfg, cfg,
                                     n_max=10))
     imgs, msks, cnts = (jnp.asarray(store.images), jnp.asarray(store.masks),
