@@ -199,6 +199,10 @@ def main():
 
 
 def _run():
+    if os.environ.get("BENCH_FAIL_INJECT") == "1":
+        # Test hook (tests/test_bench.py): simulates the tunnel-down fatal
+        # path (backend init raising UNAVAILABLE) without a TPU.
+        raise RuntimeError("injected failure (BENCH_FAIL_INJECT)")
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # This environment's sitecustomize sets jax_platforms directly on

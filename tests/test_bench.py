@@ -1,0 +1,57 @@
+"""bench.py output-contract tests: the driver parses the LAST JSON line of
+whatever the process printed, so every exit path — fatal error, watchdog
+timeout, live completion — must leave a parseable line (BENCH_r03 was lost
+to a backend-init timeout that printed nothing; these pin the fix)."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+BENCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+
+
+def _run_bench(extra_env, timeout):
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "BENCH_SMOKE": "1"})
+    env.update(extra_env)
+    return subprocess.run([sys.executable, BENCH], env=env, timeout=timeout,
+                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                          text=True)
+
+
+def _json_lines(stdout):
+    out = []
+    for line in stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            out.append(json.loads(line))
+    return out
+
+
+def test_fatal_error_still_emits_flagged_json():
+    """A fatal error before any measurement (the tunnel-down shape) must
+    exit 0 with a source-flagged cached-value line as the last output."""
+    proc = _run_bench({"BENCH_FAIL_INJECT": "1"}, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = _json_lines(proc.stdout)
+    assert lines, "no JSON line in output:\n" + proc.stdout[-2000:]
+    last = lines[-1]
+    assert last["metric"] == "meta_tasks_adapted_per_sec_per_chip"
+    assert last["value"] > 0
+    assert "live run failed" in last["detail"]["value_source"]
+
+
+@pytest.mark.slow
+def test_watchdog_fallback_is_superseded_by_live_line():
+    """With an aggressive watchdog the fallback line prints first, but the
+    live (smoke) measurement must still land afterwards — the driver's
+    last-line parse then sees the live value."""
+    proc = _run_bench({"BENCH_WATCHDOG_S": "1", "BENCH_HARD_EXIT_S": "540"},
+                      timeout=560)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = _json_lines(proc.stdout)
+    assert len(lines) >= 2, proc.stdout[-2000:]
+    assert "watchdog fallback" in lines[0]["detail"]["value_source"]
+    assert "SMOKE" in lines[-1]["detail"]["value_source"]
