@@ -3,20 +3,18 @@
 Through the axon tunnel each remote compile costs seconds even for
 one-liner programs (key construction, scalar converts), and the warm-cache
 bench session still spent ~60-70 s before its first timed step in round 3.
-This audit runs the bench-identical program sequence at toy shapes on CPU
-with `jax_log_compiles` and reports each compile event, so the session's
-program count (not just the big-step compile) is a measured, minimizable
-quantity. Usage:
+This audit mirrors bench.py's program sequence (init -> store transfer ->
+chained train step -> chained eval chunk; kept in sync by hand, it does not
+import bench.py) at toy shapes on CPU with `jax_log_compiles` and reports
+each compile event, so the session's program count (not just the big-step
+compile) is a measured, minimizable quantity. Usage:
 
     JAX_PLATFORMS=cpu python experiments/compile_audit.py
 """
 import json
 import logging
-import os
 import re
 import time
-
-os.environ.setdefault("BENCH_SMOKE", "1")
 
 import jax
 
@@ -28,7 +26,6 @@ class _CompileLog(logging.Handler):
     def __init__(self):
         super().__init__(level=logging.DEBUG)
         self.events = []
-        self._t_last = time.time()
 
     def emit(self, record):
         msg = record.getMessage()

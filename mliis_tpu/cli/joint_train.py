@@ -141,7 +141,7 @@ def main(argv=None):
         bn_axis_name=bn_axis)
     opt_cfg = OptimizerConfig(name="sgd" if args.sgd else "adam")
     state = init_model_state(model, jax.random.PRNGKey(args.seed),
-                             args.image_size, opt_cfg)
+                             args.image_size, opt_cfg, jit_init=True)
     if args.restore_efficient_net_weights_from:
         state, _ = ckpt_lib.restore_checkpoint(
             args.restore_efficient_net_weights_from, state,

@@ -88,7 +88,10 @@ def _main_impl(args, start_time):
     opt_cfg = args_lib.opt_config(args)
     model = EfficientLab(**args_lib.model_kwargs(args))
     key, init_key = jax.random.split(key)
-    state = init_model_state(model, init_key, args.image_size, opt_cfg)
+    # jit_init: one persistent-CPU-cached init program instead of ~405
+    # eager op compiles (~35 s) per session (docs/PERF_NOTES.md).
+    state = init_model_state(model, init_key, args.image_size, opt_cfg,
+                             jit_init=True)
     print("Model contains {} trainable parameters.".format(
         tree_count_params(state.params)))
     print("Meta-learning with algorithm:")
@@ -147,6 +150,9 @@ def _main_impl(args, start_time):
     eval_inner_iters = args.eval_iters
 
     mesh = None
+    if args.mesh_data > 1 and not args.mesh_tasks:
+        raise SystemExit("--mesh_data requires --mesh_tasks (use "
+                         "--mesh_tasks 1 for pure data parallelism)")
     if args.mesh_tasks:
         from mliis_tpu.parallel.mesh import make_task_mesh
         # Eval/UHO shard tasks over ALL devices: with --mesh_data the 2D

@@ -138,9 +138,9 @@ def assemble_batch(support_images_u8: jnp.ndarray,
       use_pallas: fuse the cheap composition in VMEM
         (ops.augment.augment_batch_pallas; distributionally equivalent).
       key_offset/key_total: when `idx` is the local slice of a batch split
-        over a mesh data axis, the global batch size and this shard's first
-        global position — per-sample keys then match the unsharded batch
-        (ops.augment._batch_keys).
+        over a mesh data axis, key_offset is this shard's first global
+        sample position and key_total the global batch size — per-sample
+        keys then match the unsharded batch (ops.augment._batch_keys).
     Returns: images [B, H, W, 3] float32 in [0,255], masks [B, H, W, 2] f32.
     """
     from mliis_tpu.ops.augment import (augment_batch,  # local: avoid cycle

@@ -132,7 +132,11 @@ def init_model_state(model, key, image_size: int,
     jitted-init compile.
     """
     def _make_keys():
-        k = jax.random.PRNGKey(key) if isinstance(key, int) else key
+        import numpy as np
+        if isinstance(key, (int, np.integer)):
+            k = jax.random.PRNGKey(int(key))
+        else:
+            k = key
         return jax.random.split(k)
 
     def _init(k_params, k_drop, dummy):

@@ -82,6 +82,11 @@ def train_gecko(model, state: ModelState, train_store: TaskStore,
     os.makedirs(save_dir, exist_ok=True)
     cfg = loop_config
 
+    if cfg.mesh_data and cfg.mesh_data > 1 and not cfg.mesh_tasks:
+        raise ValueError(
+            "mesh_data > 1 requires mesh_tasks (the 2D mesh is "
+            "mesh_tasks x mesh_data; use mesh_tasks=1 for pure data "
+            "parallelism) — refusing to silently train unsharded")
     mesh = train_mesh = None
     if cfg.mesh_tasks:
         from mliis_tpu.parallel.mesh import (DATA_AXIS,

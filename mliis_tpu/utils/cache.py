@@ -31,30 +31,32 @@ def enable_persistent_compilation_cache(cache_dir: str = None) -> bool:
         return False
 
 
+import contextlib
+
+
+@contextlib.contextmanager
 def cpu_cache_scope():
     """Context manager: temporarily point the persistent cache at the
-    host-fingerprinted CPU dir, restoring the previous dir on exit.
+    host-fingerprinted CPU dir, restoring the previous config on exit.
 
     For host-CPU compiles inside a TPU session (e.g. the jitted one-program
     model init): the TPU cache dir must never hold XLA:CPU AOT executables
     because /root persists across rounds while the build machine (and its
     CPU feature set) changes — a stale CPU executable SIGILLs."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def _scope():
-        import jax
-        prev = jax.config.jax_compilation_cache_dir
-        enable_cpu_compilation_cache()
-        try:
-            yield
-        finally:
+    import jax
+    saved = {name: getattr(jax.config, name) for name in
+             ("jax_compilation_cache_dir",
+              "jax_persistent_cache_min_compile_time_secs",
+              "jax_persistent_cache_min_entry_size_bytes")}
+    enable_cpu_compilation_cache()
+    try:
+        yield
+    finally:
+        for name, value in saved.items():
             try:
-                jax.config.update("jax_compilation_cache_dir", prev)
+                jax.config.update(name, value)
             except Exception:  # noqa: BLE001 - restore is best-effort
                 pass
-
-    return _scope()
 
 
 def _host_fingerprint() -> str:
