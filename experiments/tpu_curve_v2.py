@@ -36,9 +36,23 @@ def main():
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--deadline_s", type=float, default=4.5 * 3600)
     p.add_argument("--out", type=str, default="/tmp/curve_v2")
+    p.add_argument("--inner_iters", type=int, default=59,
+                   help="inner adaptation steps (run.sh default; shrink for "
+                        "CPU smoke tests)")
+    p.add_argument("--meta_batch", type=int, default=5)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the checkpoint in --out (written at "
+                        "every eval interval) — rescues a run the axon "
+                        "tunnel killed mid-way; baseline/curve reload from "
+                        "the flushed artifacts")
     args = p.parse_args()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize sets jax_platforms directly on jax.config, which
+        # outranks the env var — honor an explicit CPU request (smoke
+        # testing while the TPU is busy) by re-forcing the config.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from mliis_tpu.utils.cache import enable_persistent_compilation_cache
@@ -71,17 +85,18 @@ def main():
                          compute_dtype=jnp.bfloat16)
     loss_cfg = LossConfig(dice=True, l2=True, remat=False)
     opt_cfg = OptimizerConfig(name="sgd")
-    cfg = MetaTrainConfig(num_shots=10, inner_batch_size=8, inner_iters=59,
-                          meta_batch_size=5, foml=True, tail_shots=5,
-                          aug_rate=0.5)
+    cfg = MetaTrainConfig(num_shots=10, inner_batch_size=8,
+                          inner_iters=args.inner_iters,
+                          meta_batch_size=args.meta_batch, foml=True,
+                          tail_shots=5, aug_rate=0.5)
     LR = 5e-4
     state = init_model_state(model, 0, args.image_size, opt_cfg,
                              jit_init=True)
     init_state = jax.tree_util.tree_map(jnp.array, state)  # random-init copy
 
     eval_cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=8,
-                          inner_iters=59, transductive=True, augment=True,
-                          task_chunk_size=8, chain_chunk=True)
+                          inner_iters=args.inner_iters, transductive=True,
+                          augment=True, task_chunk_size=8, chain_chunk=True)
     evaluator = GeckoEvaluator(model, loss_cfg, opt_cfg, eval_cfg, test_store)
 
     def paired_eval(st):
@@ -95,9 +110,31 @@ def main():
             rows.append(ious)
         return np.stack(rows)  # [samples, tasks]
 
-    log("evaluating random-init baseline on held-out families...")
-    baseline = paired_eval(init_state)
-    log("baseline mean IoU:", round(float(np.nanmean(baseline)), 4))
+    from mliis_tpu.utils import checkpoint as ckpt_lib
+
+    os.makedirs(args.out, exist_ok=True)
+    baseline_path = os.path.join(args.out, "baseline.npy")
+    curve_path = os.path.join(args.out, "curve.json")
+    start_iter = 0
+    resume_path = None
+    if args.resume:
+        try:
+            resume_path = ckpt_lib.latest_checkpoint(args.out)
+        except FileNotFoundError:
+            log("--resume: no checkpoint in", args.out, "- starting fresh")
+    if resume_path is not None:
+        state, meta = ckpt_lib.restore_checkpoint(resume_path, state)
+        start_iter = int(meta.get("step", 0))
+        baseline = np.load(baseline_path)
+        with open(curve_path) as f:
+            curve = json.load(f)
+        log("resumed from iter", start_iter)
+    else:
+        log("evaluating random-init baseline on held-out families...")
+        baseline = paired_eval(init_state)
+        np.save(baseline_path, baseline)
+        curve = [[0, float(np.nanmean(baseline))]]
+        log("baseline mean IoU:", round(float(np.nanmean(baseline)), 4))
 
     train_step = jax.jit(make_chained_train_step(model, loss_cfg, opt_cfg,
                                                  cfg, n_max=10),
@@ -106,29 +143,49 @@ def main():
     msks = jnp.asarray(store.masks)
     cnts = jnp.asarray(store.counts)
 
+    # The training key stream is replayable, so a resumed run draws exactly
+    # the keys the uninterrupted run would have.
     key = jax.random.PRNGKey(42)
-    curve = [[0, float(np.nanmean(baseline))]]
-    os.makedirs(args.out, exist_ok=True)
+    for _ in range(start_iter):
+        key, _ = jax.random.split(key)
+
     t_train0 = time.time()
-    done_iters = 0
-    for i in range(args.meta_iters):
-        ms = meta_step_size_schedule(i, args.meta_iters, 0.1, 1e-5)
-        key, k = jax.random.split(key)
-        state = train_step(state, imgs, msks, cnts, k, jnp.float32(ms),
-                           jnp.float32(LR))
-        done_iters = i + 1
-        if done_iters % args.eval_every == 0 or done_iters == args.meta_iters:
-            jax.block_until_ready(state.params)
-            test_ious = paired_eval(state)
-            curve.append([done_iters, float(np.nanmean(test_ious))])
-            rate = done_iters / (time.time() - t_train0)
-            log("iter", done_iters, "held-out IoU",
-                round(curve[-1][1], 4), "({:.2f} it/s)".format(rate))
-            with open(os.path.join(args.out, "curve.json"), "w") as f:
-                json.dump(curve, f)
-        if time.time() - t0 > args.deadline_s:
-            log("deadline reached at iter", done_iters)
-            break
+    done_iters = start_iter
+
+    def _write_partial(error=None):
+        with open(os.path.join(args.out, "result.json"), "w") as f:
+            json.dump({"partial": True, "error": error,
+                       "meta_iters_done": done_iters, "curve": curve,
+                       "baseline_mean_iou": float(np.nanmean(baseline)),
+                       "wall_s": round(time.time() - t0, 1)}, f, indent=1)
+
+    try:
+        for i in range(start_iter, args.meta_iters):
+            ms = meta_step_size_schedule(i, args.meta_iters, 0.1, 1e-5)
+            key, k = jax.random.split(key)
+            state = train_step(state, imgs, msks, cnts, k, jnp.float32(ms),
+                               jnp.float32(LR))
+            done_iters = i + 1
+            if (done_iters % args.eval_every == 0
+                    or done_iters == args.meta_iters):
+                jax.block_until_ready(state.params)
+                test_ious = paired_eval(state)
+                curve.append([done_iters, float(np.nanmean(test_ious))])
+                rate = ((done_iters - start_iter)
+                        / (time.time() - t_train0))
+                log("iter", done_iters, "held-out IoU",
+                    round(curve[-1][1], 4), "({:.2f} it/s)".format(rate))
+                with open(curve_path, "w") as f:
+                    json.dump(curve, f)
+                ckpt_lib.save_checkpoint(args.out, state, done_iters,
+                                         max_to_keep=1)
+            if time.time() - t0 > args.deadline_s:
+                log("deadline reached at iter", done_iters)
+                break
+    except Exception as exc:  # noqa: BLE001 - tunnel faults must not lose the run
+        log("FATAL at iter", done_iters, "-", repr(exc))
+        _write_partial(error=repr(exc))
+        raise SystemExit(3)  # nonzero: the wrapper may retry with --resume
 
     log("final paired evaluation...")
     final = paired_eval(state)
