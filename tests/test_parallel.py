@@ -370,3 +370,23 @@ def test_sharded_chain_local_matches_vmapped(setup):
     for x, y in zip(jax.tree_util.tree_leaves(a.params),
                     jax.tree_util.tree_leaves(b.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_spatial_sharded_forward_matches_unsharded(setup):
+    """GSPMD spatial partitioning (image H axis sharded over the mesh):
+    XLA's inserted halo exchanges must reproduce the single-device forward
+    — the domain's sequence-parallelism analogue (SURVEY.md §2.2/§5)."""
+    from mliis_tpu.parallel.spatial import (make_spatial_forward,
+                                            make_spatial_mesh, shard_spatial)
+    store, model, loss_cfg, opt_cfg, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    images = jnp.asarray(store.images[0, :4]).astype(jnp.float32)  # [4,16,16,3]
+    _, ref = model.apply(variables, images, train=False)
+
+    mesh = make_spatial_mesh(4)
+    fwd = make_spatial_forward(model, mesh)
+    out = fwd(variables, shard_spatial(images, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # The output really is H-sharded across the mesh, not gathered.
+    shards = out.sharding
+    assert getattr(shards, "spec", None) is not None
