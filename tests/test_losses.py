@@ -117,3 +117,51 @@ def test_darc1_respects_example_weights():
     prefix = darc1_term(logits[:2])
     np.testing.assert_allclose(float(masked), float(prefix), rtol=1e-6)
     assert float(darc1_term(logits)) != float(prefix)
+
+
+def test_segmentation_loss_data_axis_matches_unsharded():
+    """data_axis_name: every batch-level reduction (CE mean, dice's mean
+    IoU, darc1's batch sum, weighted counts) must cross the mesh axis so a
+    shard returns the exact full-batch loss — including zero-weight padded
+    slots landing on only some shards."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    rng = np.random.default_rng(0)
+    n, h, w, c = 8, 4, 4, 2
+    logits = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    labels = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, c, size=(n, h, w))), c)
+    params = {"conv": {"kernel": jnp.asarray(rng.normal(size=(3, 3)),
+                                             jnp.float32)}}
+    weights = jnp.asarray([1, 1, 1, 0, 1, 1, 0, 1], jnp.float32)
+
+    for use_weights in (False, True):
+        w_arg = weights if use_weights else None
+        ref = losses.segmentation_loss(
+            logits, probs, labels, params, label_smoothing=0.1, dice=True,
+            l2=True, darc1=True, example_weights=w_arg)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+        def local(lg, pr, lb, wt=None):
+            return losses.segmentation_loss(
+                lg, pr, lb, params, label_smoothing=0.1, dice=True,
+                l2=True, darc1=True, example_weights=wt,
+                data_axis_name="data")
+
+        if use_weights:
+            sharded = shard_map(
+                local, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data"), P("data")),
+                out_specs=P(), check_vma=False)
+            out = jax.jit(sharded)(logits, probs, labels, weights)
+        else:
+            sharded = shard_map(
+                local, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data")),
+                out_specs=P(), check_vma=False)
+            out = jax.jit(sharded)(logits, probs, labels)
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
