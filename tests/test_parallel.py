@@ -390,3 +390,51 @@ def test_spatial_sharded_forward_matches_unsharded(setup):
     # The output really is H-sharded across the mesh, not gathered.
     shards = out.sharding
     assert getattr(shards, "spec", None) is not None
+
+
+def test_spatial_sharded_train_step_matches_unsharded(setup):
+    """Spatial sharding extends to TRAINING via GSPMD's automatic
+    partitioning: one loss-and-grad SGD step on H-sharded images (BN batch
+    moments reduce over the sharded axis — XLA inserts the psums) equals
+    the single-device step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mliis_tpu.meta.inner_loop import (apply_optimizer,
+                                           make_loss_and_grad)
+    from mliis_tpu.parallel.spatial import (SPATIAL_AXIS, make_spatial_mesh,
+                                            shard_spatial)
+    store, model, loss_cfg, opt_cfg, state = setup
+    images = jnp.asarray(store.images[0, :4]).astype(jnp.float32)
+    masks = jnp.stack([255.0 - store.masks[0, :4],
+                       jnp.asarray(store.masks[0, :4], jnp.float32)],
+                      -1) / 255.0
+    loss_and_grad = make_loss_and_grad(model, loss_cfg)
+
+    def step(params, bn, imgs, msks):
+        (loss, new_bn), grads = loss_and_grad(params, bn, imgs, msks,
+                                              jax.random.PRNGKey(0),
+                                              jnp.float32(0.0))
+        new_params, _ = apply_optimizer(params, grads, state.opt,
+                                        jnp.float32(0.01), opt_cfg)
+        return loss, new_params, new_bn
+
+    ref_loss, ref_params, ref_bn = jax.jit(step)(
+        state.params, state.batch_stats, images, masks)
+
+    mesh = make_spatial_mesh(4)
+    sharded_imgs = shard_spatial(images, mesh)
+    sharded_msks = jax.device_put(
+        masks, NamedSharding(mesh, P(None, SPATIAL_AXIS, None, None)))
+    rep = NamedSharding(mesh, P())
+    sp_step = jax.jit(step, in_shardings=(
+        rep, rep, NamedSharding(mesh, P(None, SPATIAL_AXIS, None, None)),
+        NamedSharding(mesh, P(None, SPATIAL_AXIS, None, None))))
+    out_loss, out_params, out_bn = sp_step(
+        jax.device_put(state.params, rep),
+        jax.device_put(state.batch_stats, rep), sharded_imgs, sharded_msks)
+    np.testing.assert_allclose(float(out_loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out_params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out_bn),
+                    jax.tree_util.tree_leaves(ref_bn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
