@@ -178,6 +178,11 @@ def argument_parser():
     add('--profile_dir', type=str, default=None,
         help='Capture a JAX profiler trace (TensorBoard-viewable, includes '
              'XLA/TPU timelines) of the whole run into this directory.')
+    add('--export_serving_artifact', type=str, default=None,
+        help='After training/eval, serialize the inference forward (final '
+             'model state baked in) to this path as a versioned StableHLO '
+             'artifact servable by any PJRT runtime without python model '
+             'code (utils/export.py).')
     return parser
 
 

@@ -286,6 +286,13 @@ def _main_impl(args, start_time):
         json.dump(task_name_iou_map, f)
     print("Wrote results to {}".format(results_path))
 
+    if args.export_serving_artifact:
+        from mliis_tpu.utils.export import save_serving_artifact
+        save_serving_artifact(args.export_serving_artifact, model, state,
+                              args.image_size)
+        print("Exported serving artifact to {}".format(
+            args.export_serving_artifact))
+
     end_time = datetime.datetime.now()
     print("Experiment finished at: {}, taking {}".format(
         end_time, end_time - start_time))
