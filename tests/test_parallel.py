@@ -438,3 +438,29 @@ def test_spatial_sharded_train_step_matches_unsharded(setup):
     for a, b in zip(jax.tree_util.tree_leaves(out_bn),
                     jax.tree_util.tree_leaves(ref_bn)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_2d_mesh_guards(setup):
+    """Misconfigured 2D meshes fail loudly: indivisible inner batch, missing
+    sync-BN axis on the model, mesh_data without mesh_tasks."""
+    from mliis_tpu.parallel.mesh import make_task_data_mesh
+    from mliis_tpu.meta.train import TrainLoopConfig, train_gecko
+    store, model, loss_cfg, opt_cfg, state = setup
+    mesh = make_task_data_mesh(2, 2)
+    bad_batch = MetaTrainConfig(num_shots=6, inner_batch_size=3,
+                                inner_iters=2, meta_batch_size=2,
+                                augment=False)
+    with pytest.raises(AssertionError, match="multiple of the data-mesh"):
+        make_sharded_train_step(TinySeg(bn_axis_name="data"), loss_cfg,
+                                opt_cfg, bad_batch, n_max=10, mesh=mesh)
+    ok_batch = MetaTrainConfig(num_shots=6, inner_batch_size=4,
+                               inner_iters=2, meta_batch_size=2,
+                               augment=False)
+    with pytest.raises(AssertionError, match="bn_axis_name"):
+        make_sharded_train_step(TinySeg(), loss_cfg, opt_cfg, ok_batch,
+                                n_max=10, mesh=mesh)
+    with pytest.raises(ValueError, match="mesh_data > 1 requires"):
+        train_gecko(model, state, store, store, "/tmp/never_used",
+                    loss_cfg, opt_cfg, ok_batch,
+                    TrainLoopConfig(meta_iters=1, mesh_tasks=0, mesh_data=2),
+                    jax.random.PRNGKey(0), log_fn=lambda *a: None)
