@@ -42,6 +42,7 @@ SLOW_TEST_MODULES = {
     "test_parallel",
     "test_models",
     "test_tf1_totality",
+    "test_tf1_crosscheck",
     "test_evaluate",
     "test_joint_kshot",
     "test_early_stopping_uho",
