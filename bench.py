@@ -254,19 +254,27 @@ def _run():
     msks = jnp.asarray(store.masks)
     cnts = jnp.asarray(store.counts)
 
+    def sync(st):
+        # Device->host fetch of one output leaf: the only reliable timing
+        # barrier through the axon tunnel. After the round-4 tunnel rebuild,
+        # jax.block_until_ready returned immediately (a 295-inner-step
+        # program "timed" at 3.8 ms, beyond-peak-FLOPs impossible); fetching
+        # an output leaf waits on the true data dependency.
+        import jax
+        np.asarray(jax.tree_util.tree_leaves(st.params)[0])
+
     t0 = time.time()
     state = train_step(state, imgs, msks, cnts, jax.random.PRNGKey(1),
                        jnp.float32(0.1), jnp.float32(5e-4))
-    jax.block_until_ready(state.params)
+    sync(state)
     compile_s = time.time() - t0
-    times = []
-    for i in range(3):
-        t0 = time.time()
+    n_timed = 3
+    t0 = time.time()
+    for i in range(n_timed):
         state = train_step(state, imgs, msks, cnts, jax.random.PRNGKey(2 + i),
                            jnp.float32(0.1), jnp.float32(5e-4))
-        jax.block_until_ready(state.params)
-        times.append(time.time() - t0)
-    fused_step_s = min(times)
+    sync(state)  # one fetch for the window: RTT amortizes over n_timed
+    fused_step_s = (time.time() - t0) / n_timed
 
     # HEADLINE OUT FIRST: everything below is enrichment.
     source = ("live" if os.environ.get("BENCH_SMOKE", "") != "1"
