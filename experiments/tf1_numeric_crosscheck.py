@@ -28,9 +28,12 @@ import numpy as np
 THRESHOLD = 2e-4  # f32 forward, different conv backends/reduction orders
 
 
-def build_reference_outputs(image_size, seed, batch, extractor, rsd):
+def build_reference_outputs(image_size, seed, batch, extractor, rsd,
+                            save_ckpt_dir=None):
     """Build + run the reference graph; returns ({tf_name: np}, x, y,
-    probs, loss)."""
+    probs, loss). With save_ckpt_dir, also writes a real
+    tf.compat.v1.train.Saver checkpoint of the live graph (step 123) —
+    the fixture for the checkpoint-converter roundtrip test."""
     os.environ["TF_USE_LEGACY_KERAS"] = "1"  # Keras 2 (TF1-graph capable)
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
     import tensorflow as tf2
@@ -112,6 +115,11 @@ def build_reference_outputs(image_size, seed, batch, extractor, rsd):
                 [ref.probabilities, ref.loss],
                 {ref.input_ph: x, ref.label_ph: y,
                  ref.is_training_ph: False})
+            if save_ckpt_dir is not None:
+                os.makedirs(save_ckpt_dir, exist_ok=True)
+                tf1.train.Saver().save(
+                    sess, os.path.join(save_ckpt_dir, "model.ckpt"),
+                    global_step=123)
         return tf_vars, x, y, probs, float(loss), ref_l2
     finally:
         sys.modules["tensorflow"] = real_tf

@@ -43,6 +43,7 @@ SLOW_TEST_MODULES = {
     "test_models",
     "test_tf1_totality",
     "test_tf1_crosscheck",
+    "test_tf1_checkpoint_converter",
     "test_evaluate",
     "test_joint_kshot",
     "test_early_stopping_uho",
