@@ -25,6 +25,12 @@ def parse_args(argv=None):
         description="Train segmentation model via SGD.")
     add = parser.add_argument
     add('--data_dir', type=str, default=None)
+    add('--joint_shard_dir', type=str, default=None,
+        help='Directory of train_*/val_*/test_* joint shards written by '
+             'convert_fss_1000_joint: builds the datasets via '
+             'data.convert.load_joint_shards (the reference shard-consuming '
+             'workflow, joint_train/data/input_fn.py:23-133) instead of '
+             'flattening a per-task store.')
     add('--model_name', default='efficientlab')
     add('--feature_extractor_name', default='efficientnet-b0')
     add('--rsd', type=int, nargs='+', default=[2])
@@ -79,7 +85,24 @@ def main(argv=None):
     from mliis_tpu.utils.cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
-    if args.synthetic:
+    if args.joint_shard_dir:
+        import numpy as np
+        from mliis_tpu.data.convert import load_joint_shards
+        from mliis_tpu.joint.trainer import JointDataset
+        tr_imgs, tr_lbls, class_names = load_joint_shards(
+            args.joint_shard_dir, "train", args.image_size)
+        # --test_on_val_set: monitor the val shards (reference
+        # joint_train.py:126-135); otherwise the test shards.
+        eval_split = "val" if args.test_on_val_set else "test"
+        te_imgs, te_lbls, _ = load_joint_shards(
+            args.joint_shard_dir, eval_split, args.image_size)
+        assert te_imgs.shape[0], \
+            "no {}_* shards in {}".format(eval_split, args.joint_shard_dir)
+        train_ds = JointDataset(tr_imgs, tr_lbls.astype(np.int32),
+                                class_names)
+        test_ds = JointDataset(te_imgs, te_lbls.astype(np.int32),
+                               class_names)
+    elif args.synthetic:
         store = make_synthetic_store(num_tasks=args.synthetic_tasks,
                                      examples_per_task=10,
                                      image_size=args.image_size,
@@ -120,9 +143,10 @@ def main(argv=None):
         test_store = store.subset_by_names(
             [n for n in test_classes if n in present])
 
-    train_ds = joint_dataset_from_task_store(train_store, all_classes)
-    test_ds = joint_dataset_from_task_store(test_store, all_classes)
-    num_classes = len(all_classes)
+    if not args.joint_shard_dir:
+        train_ds = joint_dataset_from_task_store(train_store, all_classes)
+        test_ds = joint_dataset_from_task_store(test_store, all_classes)
+    num_classes = train_ds.num_classes
     print("building dataset with labels with {} mask channels".format(
         num_classes + 1))
 

@@ -5,10 +5,14 @@ Parity with the reference converters:
     directory of {i}.jpg + {i}.png mask pairs becomes one gzip tfrecord (or
     npz) shard; images must be exactly 224x224 or the sample is skipped;
     masks take the first channel (fg encoded 255);
-  - joint shards (data/fss_1000_image_to_joint_tfrecord_shards.py): the
-    TPU-native joint path needs no one-hot shard materialization — the
-    JointDataset derives integer class maps from the per-task store
-    (mliis_tpu/joint/trainer.py), so converting once is enough for both.
+  - joint shards (data/fss_1000_image_to_joint_tfrecord_shards.py):
+    convert_fss_1000_joint writes compact class-index-map shards (uint16,
+    not the reference's dense one-hot channels) and load_joint_shards reads
+    them back for the joint CLI's --joint_shard_dir path
+    (joint_train/data/input_fn.py:23-133 equivalent). Alternatively the
+    JointDataset derives the same integer class maps straight from a
+    per-task store (mliis_tpu/joint/trainer.py), so either conversion
+    feeds joint training.
 
 Host-side multiprocessing mirrors the reference converter's Pool usage for
 the offline path.
@@ -144,7 +148,10 @@ def convert_fss_1000_joint(fss_root: str, out_dir: str,
                 continue
             class_id = class_to_id[class_name]
             all_images.append(images)
-            all_labels.append((masks > 127).astype(np.uint8) * class_id)
+            # uint16: FSS-1000 class ids run to 1000, past uint8's range
+            # (numpy>=2 raises OverflowError on the scalar cast).
+            all_labels.append((masks > 127).astype(np.uint16)
+                              * np.uint16(class_id))
         if not all_images:
             continue
         images = np.concatenate(all_images)
@@ -172,7 +179,10 @@ def convert_fss_1000_joint(fss_root: str, out_dir: str,
 
 
 def load_joint_shards(shard_dir: str, split: str, image_dims: int = IMAGE_DIMS):
-    """Read joint shards of one split -> (images u8, labels u8, class list)."""
+    """Read joint shards of one split -> (images u8, labels u16 class-index
+    maps, class list). The consumption path of the reference's shard-based
+    joint workflow (joint_train/data/input_fn.py:23-133): the joint CLI
+    builds its JointDataset from these via --joint_shard_dir."""
     paths = sorted(glob.glob(os.path.join(
         shard_dir, "{}_*.tfrecord*".format(split))))
     images, labels = [], []
@@ -184,7 +194,7 @@ def load_joint_shards(shard_dir: str, split: str, image_dims: int = IMAGE_DIMS):
         class_names = [line.strip() for line in f if line.strip()]
     if not images:
         return (np.zeros((0, image_dims, image_dims, 3), np.uint8),
-                np.zeros((0, image_dims, image_dims), np.uint8), class_names)
+                np.zeros((0, image_dims, image_dims), np.uint16), class_names)
     return np.concatenate(images), np.concatenate(labels), class_names
 
 

@@ -197,7 +197,12 @@ def read_segmentation_shard(path: str, image_width: int = 224,
         img = np.frombuffer(feats["image"][0], np.uint8).reshape(
             image_width, image_width, 3)
         if mask_channels == 1:
-            mask = np.frombuffer(feats["mask"][0], np.uint8).reshape(
+            buf = feats["mask"][0]
+            # Joint class-index shards store uint16 (little-endian); the
+            # per-task meta shards store uint8 — width from byte length.
+            dtype = "<u2" if len(buf) == 2 * image_width * image_width \
+                else np.uint8
+            mask = np.frombuffer(buf, dtype).reshape(
                 image_width, image_width)
         else:
             mask = np.frombuffer(feats["mask"][0], np.uint8).reshape(
@@ -216,12 +221,20 @@ def read_segmentation_shard(path: str, image_width: int = 224,
 
 def write_segmentation_shard(path: str, images: np.ndarray,
                              masks: np.ndarray) -> None:
-    """Write (images u8, masks u8) in the reference shard format."""
+    """Write (images u8, masks u8/u16) in the reference shard format.
+
+    uint16 masks are the joint-shard class-index maps: FSS-1000 has 1000
+    classes, so ids do not fit uint8 (and numpy>=2 raises OverflowError on
+    the cast rather than wrapping). Little-endian on-disk; the reader
+    infers the width from the byte length."""
+    mask_dtype = np.uint16 if masks.dtype == np.uint16 else np.uint8
     records = []
     for img, mask in zip(images, masks):
         records.append(encode_example({
             "image": np.ascontiguousarray(img, np.uint8).tobytes(),
-            "mask": np.ascontiguousarray(mask, np.uint8).tobytes(),
+            "mask": np.ascontiguousarray(
+                mask.astype("<u2") if mask_dtype == np.uint16
+                else mask, mask_dtype).tobytes(),
         }))
     write_tfrecord_file(path, records, gzipped=True)
 

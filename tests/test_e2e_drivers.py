@@ -5,6 +5,8 @@ meta-test_results.json, the UHO path, and the joint trainer."""
 import json
 import os
 
+import numpy as np
+
 import pytest
 
 from mliis_tpu.cli import joint_train as joint_cli
@@ -114,3 +116,42 @@ def test_run_metasegnet_k_shot_experiment(tmp_path, capsys):
     with open(csv_path) as f:
         rows = f.readlines()
     assert rows[0].strip() == "k,mIoU" and len(rows) > 1
+
+
+def test_joint_train_from_shards_end_to_end(tmp_path, capsys, rng):
+    """The reference's shard-consuming joint workflow
+    (joint_train/data/input_fn.py:23-133): class image dirs ->
+    convert_fss_1000_joint -> --joint_shard_dir CLI run."""
+    from PIL import Image
+    from mliis_tpu.data import manifests
+    from mliis_tpu.data.convert import convert_fss_1000_joint
+
+    size = 32
+    names = sorted(manifests.TRAIN_TASK_IDS)[:3] \
+        + sorted(manifests.TEST_TASK_IDS)[:1]
+    root = os.path.join(str(tmp_path), "fss")
+    for cls in names:
+        d = os.path.join(root, cls)
+        os.makedirs(d)
+        for i in range(1, 5):
+            img = rng.integers(0, 256, (size, size, 3)).astype(np.uint8)
+            msk = (rng.random((size, size)) > 0.5).astype(np.uint8) * 255
+            Image.fromarray(img).save(os.path.join(d, "{}.jpg".format(i)))
+            Image.fromarray(msk).save(os.path.join(d, "{}.png".format(i)))
+    shards = os.path.join(str(tmp_path), "shards")
+    convert_fss_1000_joint(root, shards, num_val_tasks=0,
+                           examples_per_shard=4, image_dims=size,
+                           num_workers=1)
+
+    ckpt = os.path.join(str(tmp_path), "joint_ckpt")
+    joint_cli.main([
+        "--joint_shard_dir", shards, "--image_size", str(size),
+        "--rsd", "2", "--sgd", "--batch_size", "4", "--epochs", "1",
+        "--steps_per_epoch", "2", "--learning_rate", "0.005",
+        "--val_batches", "1", "--eval_interval", "1",
+        "--checkpoint", ckpt, "--seed", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "building dataset with labels with 5 mask channels" in out
+    assert "Finished training" in out
+    assert os.path.exists(ckpt)
