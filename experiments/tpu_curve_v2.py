@@ -110,6 +110,22 @@ def main():
             rows.append(ious)
         return np.stack(rows)  # [samples, tasks]
 
+    def task_level_ci(mat):
+        """Paired task-level stats vs the random-init baseline.
+
+        Eval samples of the SAME held-out task are correlated (ADVICE r4), so
+        cluster the [samples, tasks] paired diffs to per-task means and use a
+        t-interval with ddof=1 (conservative at n=12 tasks).
+        Returns (mean_diff, ci95_halfwidth, n_tasks).
+        """
+        from scipy import stats as sps
+        per_task = np.nanmean(mat - baseline, axis=0)
+        per_task = per_task[np.isfinite(per_task)]
+        n_t = len(per_task)
+        hw = float(sps.t.ppf(0.975, n_t - 1)
+                   * np.std(per_task, ddof=1) / np.sqrt(n_t))
+        return float(np.mean(per_task)), hw, n_t
+
     from mliis_tpu.utils import checkpoint as ckpt_lib
 
     os.makedirs(args.out, exist_ok=True)
@@ -170,7 +186,10 @@ def main():
                     or done_iters == args.meta_iters):
                 jax.block_until_ready(state.params)
                 test_ious = paired_eval(state)
-                curve.append([done_iters, float(np.nanmean(test_ious))])
+                d_mean, d_ci, _ = task_level_ci(test_ious)
+                # entry: [iter, mean IoU, task-level paired diff, its CI95]
+                curve.append([done_iters, float(np.nanmean(test_ious)),
+                              d_mean, d_ci])
                 rate = ((done_iters - start_iter)
                         / (time.time() - t_train0))
                 log("iter", done_iters, "held-out IoU",
@@ -193,6 +212,9 @@ def main():
     diffs = diffs[np.isfinite(diffs)]
     mean_d = float(np.mean(diffs))
     ci = float(1.96 * np.std(diffs) / np.sqrt(len(diffs)))
+    # Headline CI (ADVICE r4): task-level clustered t-interval — see
+    # task_level_ci.
+    mean_t, ci_t, n_t = task_level_ci(final)
     out = {
         "config": ("EfficientLab-6-3 FOMAML* chained, run.sh shapes; "
                    "train families {} x {} tasks; DISJOINT test families {} "
@@ -206,6 +228,10 @@ def main():
         "paired_diff_ci95": ci,
         "ci_excludes_zero": bool(mean_d - ci > 0),
         "n_pairs": int(len(diffs)),
+        "task_level_diff_mean": mean_t,
+        "task_level_ci95_t": ci_t,
+        "task_level_ci_excludes_zero": bool(mean_t - ci_t > 0),
+        "n_tasks": int(n_t),
         "curve": curve,
         "wall_s": round(time.time() - t0, 1),
     }
