@@ -49,18 +49,20 @@ CONFIG_STR = ("FOMAML* meta-batch 5 x 59 steps x bs8 @224, "
 # measurement always overrides; these only fill fields whose live
 # measurement did not fit the budget (source is stated in `detail`).
 CACHED = {
-    # Driver-verified (BENCH_r02.json): session-style baseline seconds/task.
-    # The round-3 builder session re-measured 32.3-32.5 s; stable.
-    "session_style_task_s": 32.404,
-    "session_style_source": "BENCH_r02.json (driver-verified)",
+    # Round-4 BENCH_FULL live measurement (same session as the 3.784
+    # tasks/s headline; BASELINE.md round-4 table). Earlier anchors:
+    # BENCH_r02.json 32.404, round-3 builder 32.3-32.5 — the live round-4
+    # number is the most recent same-chip measurement.
+    "session_style_task_s": 35.57,
+    "session_style_source": "BENCH_r04 BENCH_FULL live (BASELINE.md)",
     # One fwd+bwd inner SGD step at bs8 @224, XLA cost analysis
     # (experiments/roofline.py cross-check: 96.0-97.7 GF).
     "sgd_step_flops": 97.7e9,
-    # Builder-session round-3 measurement (docs/PERF_NOTES.md) — used only
-    # by the watchdog when no live timing exists yet.
-    "fused_meta_step_s": 1.353,
-    "eval_tasks_per_sec": 4.01,
-    "eval_source": "round-3 builder session (docs/PERF_NOTES.md)",
+    # Round-4 driver-verified live values (BENCH_r04.json) — used only by
+    # the watchdog / fatal path when no live timing exists yet.
+    "fused_meta_step_s": 1.3215,
+    "eval_tasks_per_sec": 4.076,
+    "eval_source": "BENCH_r04.json live",
 }
 
 _state = {"printed": False, "result": None, "t0": time.time()}
@@ -98,7 +100,7 @@ def _watchdog():
         # let the live run continue — a later live line supersedes this
         # one for last-line parsers.
         _emit(_headline(CACHED["fused_meta_step_s"],
-                        value_source="cached_round3_builder_measurement "
+                        value_source="cached_round4_driver_measurement "
                                      "(watchdog fallback at {:.0f}s; live "
                                      "run still in progress)".format(budget)))
     hard_exit = float(os.environ.get("BENCH_HARD_EXIT_S", "2700"))
@@ -192,7 +194,7 @@ def main():
         if not _state["printed"]:
             _emit(_headline(
                 CACHED["fused_meta_step_s"],
-                value_source="cached_round3_builder_measurement "
+                value_source="cached_round4_driver_measurement "
                              "(live run failed: {})".format(
                                  type(exc).__name__)))
         os._exit(0)
