@@ -713,10 +713,20 @@ def augment_batch(key, images: jnp.ndarray, masks: jnp.ndarray,
     )(keys, images, masks)
 
 
+# Single-launch fused composition (ops/pallas_augment.full_pass): rotation
+# runs IN-KERNEL via MXU DFT-matmul shears, so one scan iteration issues ONE
+# pallas_call instead of two + an XLA rotation program (VERDICT r4 #3).
+# Default set by on-chip measurement (docs/PERF_NOTES.md round-5 lever);
+# False until the fused kernel's Mosaic lowering + step time are verified
+# on the real chip.
+PALLAS_FUSED_SINGLE_LAUNCH = False
+
+
 def augment_batch_pallas(key, images: jnp.ndarray, masks: jnp.ndarray,
                          prob_to_return_original=None,
                          interpret: Optional[bool] = None, key_offset=0,
-                         key_total=None) -> Pair:
+                         key_total=None,
+                         fused: Optional[bool] = None) -> Pair:
     """Batch augmentation with the cheap composition fused in Pallas.
 
     Same composition semantics as `augment_batch` (gate, random prefix of a
@@ -734,10 +744,12 @@ def augment_batch_pallas(key, images: jnp.ndarray, masks: jnp.ndarray,
     """
     import contextlib
     from jax.experimental.pallas import tpu as pltpu
-    from mliis_tpu.ops.pallas_augment import cheap_pass
+    from mliis_tpu.ops.pallas_augment import cheap_pass, full_pass
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if fused is None:
+        fused = PALLAS_FUSED_SINGLE_LAUNCH
 
     def ctx():
         return (pltpu.force_tpu_interpret_mode() if interpret
@@ -761,10 +773,31 @@ def augment_batch_pallas(key, images: jnp.ndarray, masks: jnp.ndarray,
         return skip, perm, num, seeds, k_rot
 
     skip, perm, num, seeds, rot_keys = jax.vmap(draws)(keys)
+    x = jax.vmap(_to_planar)(images, masks)      # [B, C_tot, H, W]
+
+    if fused and images.shape[1] == images.shape[2]:
+        # Single launch: rotation in-kernel (MXU DFT-matmul shears). The
+        # rotation's parameter draws keep _rotate_planar's key discipline
+        # and distributions (split(k_rot, 5); the noise child is replaced
+        # by the in-kernel border-noise plane).
+        def rot_draws(k):
+            ks = jax.random.split(k, 5)
+            angle = jax.random.randint(ks[0], (), -45, 45)
+            mode_idx = jax.random.randint(ks[1], (), 0, len(_ROTATE_MODES))
+            fill = jax.random.bernoulli(ks[2]).astype(jnp.int32)
+            cval = jax.random.randint(ks[3], (), 0, 256)
+            return jnp.stack([angle, mode_idx, fill, cval])
+
+        rot_params = jax.vmap(rot_draws)(rot_keys)
+        with ctx():
+            full = full_pass(seeds[:, 0], x, perm, num, rot_params,
+                             c_img=c_img)
+        out = jnp.where(skip[:, None, None, None], x, full)
+        return jax.vmap(lambda v: _from_planar(v, c_img))(out)
+
     exp_pos = jnp.argmax(perm == exp_idx, axis=1).astype(jnp.int32)
     exp_applied = exp_pos < num
 
-    x = jax.vmap(_to_planar)(images, masks)      # [B, C_tot, H, W]
     with ctx():
         pre = cheap_pass(seeds[:, 0], x, perm, num,
                          jnp.stack([jnp.zeros_like(exp_pos), exp_pos],

@@ -189,3 +189,103 @@ def test_adapt_fn_pallas_augment_path(rng):
     assert np.isfinite(np.asarray(losses)).all()
     for leaf in jax.tree_util.tree_leaves(out.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def _run_full(x, perm_row, num, rot_row=(0, 0, 0, 0)):
+    from mliis_tpu.ops.pallas_augment import full_pass
+    b = x.shape[0]
+    perm = jnp.tile(jnp.asarray(perm_row, jnp.int32)[None], (b, 1))
+    nums = jnp.full((b,), num, jnp.int32)
+    rot = jnp.tile(jnp.asarray([rot_row], jnp.int32), (b, 1))
+    seeds = jnp.arange(b, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        return full_pass(seeds, x, perm, nums, rot, interpret=True)
+
+
+def test_full_pass_identity_and_cheap_ops_match_cheap_pass(rng):
+    """The single-launch kernel reproduces cheap_pass exactly for
+    compositions without rotation (same helpers, same PRNG stream), and is
+    the identity for a zero prefix."""
+    x = _planar_batch(rng)
+    np.testing.assert_allclose(np.asarray(_run_full(x, [0, 1, 2, 3, 4, 5], 0)),
+                               np.asarray(x))
+    for perm_row, num in (([2, 0, 1, 3, 4, 5], 1),
+                          ([0, 1, 2, 3, 4, 5], 3),
+                          ([4, 3, 2, 1, 0, 5], 5)):
+        fused = _run_full(x, perm_row, num)
+        split = _run_cheap(x, perm_row, num, 0, 6)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
+                                   atol=1e-4)
+
+
+def test_full_pass_zero_angle_rotation_is_near_identity(rng):
+    """Rotation by 0 degrees in-kernel: the three shears are identity phase
+    shifts, so the DFT round trip must return the input (up to f32 DFT
+    rounding) with the mask snapped back to exact one-hot."""
+    x = _planar_batch(rng)
+    out = np.asarray(_run_full(x, [5, 0, 1, 2, 3, 4], 1,
+                               rot_row=(0, 0, 0, 0)))
+    np.testing.assert_allclose(out[:, :3], np.asarray(x)[:, :3], atol=5e-2)
+    np.testing.assert_allclose(out[:, 3:], np.asarray(x)[:, 3:], atol=1e-5)
+
+
+def test_full_pass_rotation_matches_xla_shear_rotation(rng):
+    """In-kernel MXU shear rotation == the XLA _rotate_shear_planar core for
+    the same angle/mode (non-constant mode: no noise/cval dependence)."""
+    from mliis_tpu.ops.augment import _rotate_shear_planar
+    x = _planar_batch(rng)
+    angle, mode = 30, 0  # reflect mode: border comes from the wrap shears
+    out = np.asarray(_run_full(x, [5, 0, 1, 2, 3, 4], 1,
+                               rot_row=(angle, mode, 0, 0)))
+    for b in range(x.shape[0]):
+        ref = np.asarray(_rotate_shear_planar(
+            x[b], 3, jnp.float32(angle), jnp.int32(mode), False,
+            jnp.float32(0.0), jnp.zeros((3,) + x.shape[2:], jnp.float32)))
+        np.testing.assert_allclose(out[b], ref, atol=1e-2)
+
+
+def test_full_pass_constant_mode_fills_corners(rng):
+    """Constant border mode with cval fill: the out-of-frame corners of a
+    45-degree rotation must be exactly cval on image planes and background
+    one-hot on mask planes."""
+    x = _planar_batch(rng)
+    cval = 7
+    out = np.asarray(_run_full(x, [5, 0, 1, 2, 3, 4], 1,
+                               rot_row=(44, 1, 0, cval)))
+    # corner pixel (0, 0) is far out of frame at 44 degrees
+    assert np.allclose(out[:, :3, 0, 0], float(cval))
+    assert np.allclose(out[:, 3, 0, 0], 1.0)
+    assert np.allclose(out[:, 4, 0, 0], 0.0)
+
+
+def test_full_pass_mask_stays_onehot_through_rotation(rng):
+    x = _planar_batch(rng)
+    out = np.asarray(_run_full(x, [0, 1, 5, 2, 3, 4], 6,
+                               rot_row=(17, 2, 0, 0)))
+    sums = out[:, 3] + out[:, 4]
+    np.testing.assert_allclose(sums, np.ones_like(sums), atol=1e-4)
+    assert set(np.unique(out[:, 4])) <= {0.0, 1.0}
+
+
+def test_augment_batch_pallas_fused_structure(rng):
+    """The fused=True wrapper path: gate identity at prob 1, shape/one-hot
+    invariants at prob 0 (interpret mode)."""
+    from mliis_tpu.ops.augment import augment_batch_pallas
+    images = jnp.asarray(rng.integers(0, 256, (3, 32, 32, 3)).astype(
+        np.float32))
+    fg = (rng.random((3, 32, 32)) > 0.5).astype(np.float32)
+    masks = jnp.asarray(np.stack([1.0 - fg, fg], axis=-1))
+
+    out_i, out_m = augment_batch_pallas(jax.random.PRNGKey(0), images, masks,
+                                        prob_to_return_original=1.0,
+                                        interpret=True, fused=True)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(images),
+                               atol=1e-4)
+    out_i, out_m = augment_batch_pallas(jax.random.PRNGKey(1), images, masks,
+                                        prob_to_return_original=0.0,
+                                        interpret=True, fused=True)
+    assert out_i.shape == images.shape and out_m.shape == masks.shape
+    arr_m = np.asarray(out_m)
+    np.testing.assert_allclose(arr_m.sum(-1), np.ones_like(arr_m.sum(-1)),
+                               atol=1e-3)
+    assert np.isfinite(np.asarray(out_i)).all()
