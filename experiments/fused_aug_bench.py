@@ -136,11 +136,19 @@ def main():
     def sync(st):
         np.asarray(jax.tree_util.tree_leaves(st.params)[0])
 
-    for fused in (False, True):
+    import dataclasses
+    variants = (
+        ("split", False, False),            # shipping round-4 program
+        ("fused", True, False),             # 1 launch/iter, rotation in-kernel
+        ("precompute_fused", True, True),   # all 59 batches in ONE launch
+    )
+    for name, fused, precompute in variants:
         augment.PALLAS_FUSED_SINGLE_LAUNCH = fused
+        cfg_i = dataclasses.replace(cfg, precompute_augment=precompute,
+                                    pallas_augment=True)
         state = init_model_state(model, 0, hw, opt_cfg, jit_init=True)
-        step = jax.jit(make_chained_train_step(model, loss_cfg, opt_cfg, cfg,
-                                               n_max=10),
+        step = jax.jit(make_chained_train_step(model, loss_cfg, opt_cfg,
+                                               cfg_i, n_max=10),
                        donate_argnums=(0,))
         t = time.time()
         state = step(state, imgs_s, msks_s, cnts_s, jax.random.PRNGKey(1),
@@ -154,14 +162,16 @@ def main():
                          jax.random.PRNGKey(2 + i), jnp.float32(0.1),
                          jnp.float32(5e-4))
         sync(state)
-        name = "fused" if fused else "split"
         results["step_{}_compile_s".format(name)] = round(compile_s, 1)
         results["step_{}_s".format(name)] = round((time.time() - t) / n, 4)
         log("chained step", name, results["step_{}_s".format(name)], "s")
 
-    results["step_speedup_pct"] = round(
-        100.0 * (results["step_split_s"] / results["step_fused_s"] - 1.0), 2)
-    results["tasks_per_sec_fused"] = round(5.0 / results["step_fused_s"], 3)
+    for name in ("fused", "precompute_fused"):
+        results["step_{}_speedup_pct".format(name)] = round(
+            100.0 * (results["step_split_s"]
+                     / results["step_{}_s".format(name)] - 1.0), 2)
+        results["tasks_per_sec_{}".format(name)] = round(
+            5.0 / results["step_{}_s".format(name)], 3)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "fused_aug_bench.json")
     with open(out_path, "w") as f:

@@ -271,7 +271,8 @@ def sgd_scan_step(model, loss_config: LossConfig,
 
 
 def precompute_augmented_batches(support_images_u8, support_masks_u8,
-                                 idx_matrix, keys, aug_rate):
+                                 idx_matrix, keys, aug_rate,
+                                 use_pallas: bool = False):
     """Gather+augment every step's batch ahead of the adaptation scan.
 
     One flat vmapped pass over all steps — deliberately NOT a lax.map/scan:
@@ -280,6 +281,11 @@ def precompute_augmented_batches(support_images_u8, support_masks_u8,
     the remote-compile budget), while the flat batched augmentation of
     472 images compiles in ~40 s. Outputs are bf16-staged.
 
+    use_pallas routes the augmentation through the fused VMEM kernels
+    (VERDICT r4 option (b): the jnp precompute lost to HBM staging of its
+    many intermediate op clusters; the single-launch kernel writes each
+    sample once).
+
     Returns (images [steps,B,H,W,3] bf16, masks [steps,B,H,W,2] bf16,
              drop_keys [steps]).
     """
@@ -287,7 +293,7 @@ def precompute_augmented_batches(support_images_u8, support_masks_u8,
         k_aug, k_drop = jax.random.split(key)
         images, masks = episodes.assemble_batch(
             support_images_u8, support_masks_u8, idx, k_aug,
-            aug_rate=aug_rate, augment=True)
+            aug_rate=aug_rate, augment=True, use_pallas=use_pallas)
         return (images.astype(jnp.bfloat16), masks.astype(jnp.bfloat16),
                 k_drop)
 
@@ -327,7 +333,7 @@ def make_adapt_fn(model, loss_config: LossConfig, opt_config: OptimizerConfig,
         if precompute_augment and augment:
             all_images, all_masks, drop_keys = precompute_augmented_batches(
                 support_images_u8, support_masks_u8, idx_matrix, keys,
-                aug_rate)
+                aug_rate, use_pallas=pallas_augment)
 
             def step(carry, xs):
                 images, masks, k_drop, lr = xs

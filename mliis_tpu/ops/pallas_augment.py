@@ -551,8 +551,11 @@ def _full_pass_kernel(seeds_ref, perm_ref, num_ref, rot_ref, x_ref, fr_ref,
         fr = fr_ref[:]
         fi = fi_ref[:]
 
-        row_ids = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+        # Mosaic's tpu.iota is integer-only: draw i32 and convert.
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (height, width), 0).astype(jnp.float32)
+        col_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (height, width), 1).astype(jnp.float32)
         kv_w = _fold_freqs(
             jax.lax.broadcasted_iota(jnp.int32, (height, width), 1), width)
         kv_h = _fold_freqs(
