@@ -49,20 +49,22 @@ CONFIG_STR = ("FOMAML* meta-batch 5 x 59 steps x bs8 @224, "
 # measurement always overrides; these only fill fields whose live
 # measurement did not fit the budget (source is stated in `detail`).
 CACHED = {
-    # Round-4 BENCH_FULL live measurement (same session as the 3.784
-    # tasks/s headline; BASELINE.md round-4 table). Earlier anchors:
-    # BENCH_r02.json 32.404, round-3 builder 32.3-32.5 — the live round-4
-    # number is the most recent same-chip measurement.
-    "session_style_task_s": 35.57,
-    "session_style_source": "BENCH_r04 BENCH_FULL live (BASELINE.md)",
+    # Round-5 builder BENCH_FULL live measurement (2026-08-19, same session
+    # as the 3.912 tasks/s fused-kernel headline). The session-style
+    # baseline varies with tunnel/session state — measured 32.40 (r2
+    # driver), 32.3-32.5 (r3), 35.57 (r4 live), 28.08 (r5 live); the most
+    # recent live number is recorded, and BENCH_FULL=1 always re-measures
+    # it live in-session for an apples-to-apples ratio.
+    "session_style_task_s": 28.082,
+    "session_style_source": "round-5 builder BENCH_FULL live (2026-08-19)",
     # One fwd+bwd inner SGD step at bs8 @224, XLA cost analysis
     # (experiments/roofline.py cross-check: 96.0-97.7 GF).
     "sgd_step_flops": 97.7e9,
-    # Round-4 driver-verified live values (BENCH_r04.json) — used only by
-    # the watchdog / fatal path when no live timing exists yet.
-    "fused_meta_step_s": 1.3215,
-    "eval_tasks_per_sec": 4.076,
-    "eval_source": "BENCH_r04.json live",
+    # Round-5 live values (fused single-launch augmentation kernel) — used
+    # only by the watchdog / fatal path when no live timing exists yet.
+    "fused_meta_step_s": 1.278,
+    "eval_tasks_per_sec": 4.213,
+    "eval_source": "round-5 builder BENCH_FULL live (2026-08-19)",
 }
 
 _state = {"printed": False, "result": None, "t0": time.time()}
@@ -100,7 +102,7 @@ def _watchdog():
         # let the live run continue — a later live line supersedes this
         # one for last-line parsers.
         _emit(_headline(CACHED["fused_meta_step_s"],
-                        value_source="cached_round4_driver_measurement "
+                        value_source="cached_round5_builder_measurement "
                                      "(watchdog fallback at {:.0f}s; live "
                                      "run still in progress)".format(budget)))
     hard_exit = float(os.environ.get("BENCH_HARD_EXIT_S", "2700"))
@@ -194,7 +196,7 @@ def main():
         if not _state["printed"]:
             _emit(_headline(
                 CACHED["fused_meta_step_s"],
-                value_source="cached_round4_driver_measurement "
+                value_source="cached_round5_builder_measurement "
                              "(live run failed: {})".format(
                                  type(exc).__name__)))
         os._exit(0)
