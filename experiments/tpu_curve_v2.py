@@ -40,6 +40,13 @@ def main():
                    help="inner adaptation steps (run.sh default; shrink for "
                         "CPU smoke tests)")
     p.add_argument("--meta_batch", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0,
+                   help="replication seed: offsets the synthetic-store "
+                        "draws (train AND held-out tasks), the model init, "
+                        "and the training key stream (0 = the original "
+                        "round-4/5 run exactly). Within a run the eval "
+                        "episode keys stay fixed, so the baseline/meta-init "
+                        "comparison remains paired.")
     p.add_argument("--resume", action="store_true",
                    help="continue from the checkpoint in --out (written at "
                         "every eval interval) — rescues a run the axon "
@@ -75,11 +82,13 @@ def main():
 
     store = make_synthetic_store(num_tasks=args.train_tasks,
                                  examples_per_task=10,
-                                 image_size=args.image_size, seed=0,
+                                 image_size=args.image_size,
+                                 seed=1000 * args.seed,
                                  shapes=TRAIN_FAMILIES)
     test_store = make_synthetic_store(num_tasks=args.test_tasks,
                                       examples_per_task=10,
-                                      image_size=args.image_size, seed=777,
+                                      image_size=args.image_size,
+                                      seed=777 + 1000 * args.seed,
                                       shapes=TEST_FAMILIES)
     model = EfficientLab(rsd=(2, 4), final_layer_dropout_rate=0.5,
                          compute_dtype=jnp.bfloat16)
@@ -90,7 +99,7 @@ def main():
                           meta_batch_size=args.meta_batch, foml=True,
                           tail_shots=5, aug_rate=0.5)
     LR = 5e-4
-    state = init_model_state(model, 0, args.image_size, opt_cfg,
+    state = init_model_state(model, args.seed, args.image_size, opt_cfg,
                              jit_init=True)
     init_state = jax.tree_util.tree_map(jnp.array, state)  # random-init copy
 
@@ -161,7 +170,7 @@ def main():
 
     # The training key stream is replayable, so a resumed run draws exactly
     # the keys the uninterrupted run would have.
-    key = jax.random.PRNGKey(42)
+    key = jax.random.PRNGKey(42 + args.seed)
     for _ in range(start_iter):
         key, _ = jax.random.split(key)
 
@@ -221,6 +230,7 @@ def main():
                    "x {} tasks; paired eval keys".format(
                        TRAIN_FAMILIES, args.train_tasks, TEST_FAMILIES,
                        args.test_tasks)),
+        "seed": args.seed,
         "meta_iters_done": done_iters,
         "baseline_mean_iou": float(np.nanmean(baseline)),
         "final_mean_iou": float(np.nanmean(final)),
